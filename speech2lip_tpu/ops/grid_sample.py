@@ -1,0 +1,76 @@
+"""Bilinear grid sampling as gather + interpolation weights.
+
+TPU-native replacement for ``torch.nn.functional.grid_sample`` (used by the
+reference for all backward warps: tf_nerf.py:366-367, training.py:312).
+TPUs have no texture units; the sample is expressed as four flat gathers
+(`jnp.take` over H*W) plus VPU blends, which XLA fuses into one program.
+
+Semantics match torch with ``align_corners=False`` exactly for both
+``zeros`` and ``border`` padding modes (validated against torch CPU in
+tests/test_grid_sample.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
+                padding_mode: str = "zeros") -> jnp.ndarray:
+    """Sample ``img`` at normalized ``grid`` locations, bilinear.
+
+    Args:
+      img:  [B, H, W, C]   (NHWC — TPU-native layout).
+      grid: [B, Hg, Wg, 2] with (x, y) in [-1, 1], torch convention.
+      padding_mode: 'zeros' | 'border'.
+
+    Returns:
+      [B, Hg, Wg, C]
+    """
+    if padding_mode not in ("zeros", "border"):
+        raise ValueError(f"unsupported padding_mode {padding_mode!r}")
+    B, H, W, C = img.shape
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    # unnormalize, align_corners=False: pixel centers at 0.5 offsets
+    ix = ((gx + 1.0) * W - 1.0) * 0.5
+    iy = ((gy + 1.0) * H - 1.0) * 0.5
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = ix - x0
+    wy = iy - y0
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
+
+    img_flat = img.reshape(B, H * W, C)
+
+    def gather(yi, xi):
+        if padding_mode == "zeros":
+            valid = ((xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1))
+            xc = jnp.clip(xi, 0, W - 1)
+            yc = jnp.clip(yi, 0, H - 1)
+            idx = (yc * W + xc).reshape(B, -1)
+            vals = jnp.take_along_axis(img_flat, idx[..., None], axis=1)
+            vals = vals.reshape(*yi.shape, C)
+            return vals * valid[..., None].astype(img.dtype)
+        else:  # border
+            xc = jnp.clip(xi, 0, W - 1)
+            yc = jnp.clip(yi, 0, H - 1)
+            idx = (yc * W + xc).reshape(B, -1)
+            vals = jnp.take_along_axis(img_flat, idx[..., None], axis=1)
+            return vals.reshape(*yi.shape, C)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+
+    wx = wx[..., None].astype(img.dtype)
+    wy = wy[..., None].astype(img.dtype)
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy

@@ -1,0 +1,41 @@
+import os
+
+from speech2lip_tpu.core.config import (DEFAULT_CONFIG, default_config,
+                                        load_config, update_recursive)
+
+
+def test_update_recursive_deep_merge():
+    a = {"x": {"y": 1, "z": 2}, "k": 3}
+    update_recursive(a, {"x": {"y": 10}, "new": {"n": 1}})
+    assert a == {"x": {"y": 10, "z": 2}, "k": 3, "new": {"n": 1}}
+
+
+def test_default_config_is_copy():
+    c = default_config()
+    c["model"]["net_width"] = 999
+    assert DEFAULT_CONFIG["model"]["net_width"] == 256
+
+
+def test_load_config_inherit_chain(tmp_path):
+    base = tmp_path / "base.yaml"
+    base.write_text("model:\n  net_width: 128\ntraining:\n  batch_rays: 100\n")
+    child = tmp_path / "sub" / "child.yaml"
+    os.makedirs(child.parent)
+    child.write_text(
+        "inherit_from: ../base.yaml\ntraining:\n  batch_rays: 200\n")
+    cfg = load_config(str(child))
+    assert cfg["model"]["net_width"] == 128        # from base
+    assert cfg["training"]["batch_rays"] == 200    # child wins
+    assert cfg["model"]["net_depth"] == 8          # from in-code defaults
+
+
+def test_repo_may_config_loads():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "configs", "may", "may.yaml")
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("configs/may/may.yaml not written yet")
+    cfg = load_config(path)
+    assert cfg["data"]["width"] == 120
+    assert cfg["data"]["height"] == 80
+    assert cfg["model"]["MLP_version"] == "v2"
