@@ -1,0 +1,115 @@
+"""Jitted frame renderer: audio window → composited 500² face frame.
+
+The TPU-native inference path (reference inference.py:140-178, call stack
+SURVEY.md §3.2), redesigned rather than ported:
+
+- the audio encoder runs **once per frame** (the reference tiles the raw
+  window to all 9600 rays and re-encodes it 9600×, inference.py:144-151);
+- the whole pipeline — encoder, pixel MLP (Pallas fused kernel on TPU),
+  paste/blend/backward-warp compositing, post-fusion U-Net — is one jitted
+  XLA program per batch of frames; no host round-trips between stages;
+- batch axis = frames, the natural data-parallel unit (SURVEY.md §2.10):
+  the same program pjit-shards over a device mesh for multi-chip serving.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from speech2lip_tpu.models import talking_face as tf
+from speech2lip_tpu.models import unet_light
+from speech2lip_tpu.ops import nn as snn
+from speech2lip_tpu.ops.coords import get_coords
+from speech2lip_tpu.ops.embedders import fourier_embed, time_embed
+
+
+def batched_frame_feature(params, audio_codes: jnp.ndarray,
+                          t_indices: jnp.ndarray):
+    """Per-frame constant trunk inputs for a batch of frames.
+
+    audio_codes: [B, 64]; t_indices: [B] float.
+    Returns (base [B, W], skip [B, W]).
+    """
+    t_emb = jax.vmap(lambda t: time_embed(t, tf.TIME_DIM))(
+        t_indices.astype(jnp.float32)).astype(audio_codes.dtype)
+    base = (snn.linear(params["fc_audio"], audio_codes)
+            + snn.linear(params["fc_time"], t_emb))
+    skip = (snn.linear(params["fc_audio_skip"], audio_codes)
+            + snn.linear(params["fc_time_skip"], t_emb))
+    return base, skip
+
+
+def render_lip_batch(params, audio: jnp.ndarray, t_indices: jnp.ndarray,
+                     height: int, width: int, uv_multires: int = 10,
+                     use_pallas: bool = False,
+                     compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Render the canonical lip crop for a batch of frames (no ensemble —
+    eval path, reference inference.py:144-159).
+
+    audio: [B, 16, 29]; t_indices: [B].
+    Returns [B, height, width, 3] float32.
+    """
+    codes = tf.encode_audio(params, audio.astype(compute_dtype))
+    base, skip = batched_frame_feature(params, codes, t_indices)
+    coords = get_coords(width, height, dtype=compute_dtype)   # [N, 2]
+    uv_emb = fourier_embed(coords, uv_multires)               # [N, 42]
+    if use_pallas:
+        from speech2lip_tpu.ops.pallas.fused_mlp import fused_mlp
+        out = jax.vmap(lambda b, s: fused_mlp(params, uv_emb, b, s))(base, skip)
+    else:
+        out = tf.mlp_trunk(params, uv_emb[None], base[:, None, :],
+                           skip[:, None, :])
+    return out.reshape(out.shape[0], height, width, 3).astype(jnp.float32)
+
+
+def render_face_batch(params, unet_params, unet_state, batch: Dict[str, Any],
+                      *, lip_x: int, lip_y: int, lip_h: int, lip_w: int,
+                      expand_divisor: int = 5, use_pallas: bool = False,
+                      compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Full inference step for a batch of frames.
+
+    batch keys: audio [B,16,29], index [B], rgb_face_zero [B,H,W,3],
+    rgb_face_ori [B,H,W,3], mask_lip_canonical [B,H,W,3], coord [B,H,W,2].
+
+    Returns dict with 'lip' [B,lh,lw,3] and 'face' [B,H,W,3] (post-fusion
+    output, reference inference.py:161-178).
+    """
+    rgb_lip = render_lip_batch(params, batch["audio"],
+                               batch["index"].astype(jnp.float32),
+                               lip_h, lip_w, use_pallas=use_pallas,
+                               compute_dtype=compute_dtype)
+    unet_in, _, _ = tf.post_fusion_composite(
+        rgb_lip, batch["rgb_face_zero"], batch["rgb_face_ori"],
+        batch["mask_lip_canonical"], batch["coord"], lip_x, lip_y,
+        expand_divisor=expand_divisor)
+    face, _ = unet_light.apply(unet_params, unet_state,
+                               unet_in.astype(compute_dtype), train=False)
+    return {"lip": rgb_lip, "face": face.astype(jnp.float32)}
+
+
+class Renderer:
+    """Compiled renderer bound to a config's static geometry."""
+
+    def __init__(self, cfg: Dict[str, Any], params, unet_params, unet_state,
+                 use_pallas: Optional[bool] = None):
+        d = cfg["data"]
+        self.lip_h = int(d["height"])
+        self.lip_w = int(d["width"])
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        compute_dtype = jnp.dtype(cfg["model"].get("compute_dtype", "float32"))
+        self._params = (params, unet_params, unet_state)
+        self._fn = jax.jit(functools.partial(
+            render_face_batch,
+            expand_divisor=int(d.get("expand_mask_divisor", 5)),
+            use_pallas=use_pallas, compute_dtype=compute_dtype,
+        ), static_argnames=("lip_x", "lip_y", "lip_h", "lip_w"))
+
+    def __call__(self, batch: Dict[str, Any], lip_x: int, lip_y: int):
+        p, up, us = self._params
+        return self._fn(p, up, us, batch, lip_x=int(lip_x), lip_y=int(lip_y),
+                        lip_h=self.lip_h, lip_w=self.lip_w)

@@ -1,0 +1,280 @@
+"""Jitted training step: the whole optimization step as one XLA program.
+
+TPU-native redesign of the reference's ``Trainer.train_stage1``
+(reference src/face_simple/training.py:141-574, call stack SURVEY.md §3.1):
+
+- the LIIF 4-offset ensemble is one batched matmul chain (leading axis), not
+  4 sequential forwards (training.py:204-239);
+- audio/time projections are computed once per frame, not once per ray;
+- loss staging (sync loss + post-net freeze after ``sync_start_iter``,
+  reference train.py:188-197, training.py:491) is a **static** flag: the
+  outer loop re-jits once at the boundary instead of branching per step;
+- gradients reduce across the device mesh via jit sharding (params
+  replicated, batch sharded on the frame axis) — the NCCL DDP equivalent
+  (SURVEY.md §5 "Distributed communication backend");
+- randomness is threaded through explicit PRNG keys.
+
+Whole-frame optimizer steps: the reference steps per ray-chunk
+(training.py:404,559) but for the production config batch_rays = H·W, so one
+step per frame — identical semantics, documented divergence otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from speech2lip_tpu.models import talking_face as tf
+from speech2lip_tpu.models import unet_light
+from speech2lip_tpu.models import syncnet as syncnet_mod
+from speech2lip_tpu.ops.coords import ensemble_coords, get_coords
+from speech2lip_tpu.ops.embedders import fourier_embed
+from speech2lip_tpu.ops.geometry import (intrinsics, inverse_warp,
+                                         rel_pose_obs2can)
+from speech2lip_tpu.train import losses
+from speech2lip_tpu.infer.renderer import batched_frame_feature
+
+
+class TrainState(NamedTuple):
+    params: Any          # talking_face params (incl. canonical_depth)
+    unet_params: Any
+    unet_state: Any      # BN running stats
+    opt_state: Any
+    it: jnp.ndarray      # int32 iteration counter
+
+
+@dataclass(frozen=True)
+class StepStatics:
+    """Static (compile-time) geometry and staging flags."""
+    lip_h: int
+    lip_w: int
+    lip_x: int
+    lip_y: int
+    face_h: int
+    face_w: int
+    focal: float
+    expand_divisor: int = 5
+    w_photometric: float = 1.0
+    w_perceptual: float = 0.01
+    w_post_fusion: float = 1.0
+    w_sync: float = 0.01
+    use_perceptual: bool = True
+    use_canonical_depth_loss: bool = True
+    use_blackaug: bool = True
+    sync_on: bool = False          # it > sync_start_iter
+    postnet_frozen: bool = False   # it > postnet_freeze_iter
+    sync_T: int = 5
+    face_bbox: Tuple[int, int, int, int] = (0, 0, 96, 96)  # x, y, x2, y2
+    ensemble: bool = True
+
+
+def render_lip_ensemble(params, audio: jnp.ndarray, t_indices: jnp.ndarray,
+                        key, st: StepStatics) -> jnp.ndarray:
+    """Train-time lip render with the 4-offset local ensemble.
+
+    audio: [B, 16, 29]; returns [B, lip_h, lip_w, 3].
+    """
+    b = audio.shape[0]
+    codes = tf.encode_audio(params, audio)
+    base, skip = batched_frame_feature(params, codes, t_indices)
+    coords = get_coords(st.lip_w, st.lip_h)                  # [N, 2]
+    if not st.ensemble:
+        uv_emb = fourier_embed(coords, 10)
+        out = tf.mlp_trunk(params, uv_emb[None], base[:, None, :],
+                           skip[:, None, :])
+        return out.reshape(b, st.lip_h, st.lip_w, 3)
+    # per-frame eps noise: (0.5/H)*rand/2 (reference training.py:198-200)
+    eps = (0.5 / st.lip_h) * jax.random.uniform(key, (b,)) / 2.0
+    shifted, weights = jax.vmap(
+        lambda e: ensemble_coords(coords, st.lip_w, st.lip_h, e))(eps)
+    # shifted: [B, 4, N, 2]; weights: [B, 4, N]
+    uv_emb = fourier_embed(shifted, 10)                      # [B, 4, N, 42]
+    out = tf.mlp_trunk(params, uv_emb, base[:, None, None, :],
+                       skip[:, None, None, :])               # [B, 4, N, 3]
+    rgb = jnp.sum(out * weights[..., None], axis=1)          # [B, N, 3]
+    return rgb.reshape(b, st.lip_h, st.lip_w, 3)
+
+
+def _fuse_frame(params, unet_params, unet_state, rgb_lip, batch, coord,
+                key, st: StepStatics, blackaug: bool):
+    """Post-fusion composite + U-Net for a batch of frames."""
+    noise = None
+    if blackaug:
+        k1, k2, k3 = jax.random.split(key, 3)
+        shape = batch["rgb_face_zero"].shape[:3] + (1,)
+        apply = jax.random.uniform(k3, ()) > 0.5  # 50% of steps (tf_nerf.py:371)
+        noise = (losses.black_hole_noise(k1, shape),
+                 losses.black_hole_noise(k2, shape), apply)
+    unet_in, _, _ = tf.post_fusion_composite(
+        rgb_lip, batch["rgb_face_zero"], batch["rgb_face_ori"],
+        batch["mask_lip_canonical"], coord, st.lip_x, st.lip_y,
+        expand_divisor=st.expand_divisor, blackaug_noise=noise)
+    train_bn = not st.postnet_frozen
+    face, new_unet_state = unet_light.apply(unet_params, unet_state, unet_in,
+                                            train=train_bn)
+    return face, new_unet_state
+
+
+def compute_losses(params, unet_params, unet_state, frozen, batch, key,
+                   st: StepStatics):
+    """Full loss dict for one batch (reference train_stage1).
+
+    frozen: dict with 'lpips' and optional 'syncnet' (params, state).
+    Returns (total_loss, (metrics, new_unet_state)).
+    """
+    metrics: Dict[str, jnp.ndarray] = {}
+    keys = jax.random.split(key, 8)
+    b = batch["audio"].shape[0]
+    t_idx = batch["index"].astype(jnp.float32)
+
+    if st.postnet_frozen:
+        unet_params = jax.lax.stop_gradient(unet_params)
+
+    # 1. lip render + photometric + perceptual (training.py:414-421)
+    rgb_lip = render_lip_ensemble(params, batch["audio"], t_idx, keys[0], st)
+    loss_rgb_lip = losses.photometric_loss(rgb_lip, batch["rgb"],
+                                           weight=st.w_photometric)
+    total = loss_rgb_lip
+    loss_rgb_metric = loss_rgb_lip
+    if st.use_perceptual:
+        lp = losses.perceptual_loss(frozen["lpips"], rgb_lip, batch["rgb"],
+                                    weight=st.w_perceptual)
+        total = total + lp
+        metrics["loss_perceptual_lip"] = lp
+
+    # 2. post-fusion face + losses (training.py:424-459)
+    face, new_unet_state = _fuse_frame(
+        params, unet_params, unet_state, rgb_lip, batch, batch["coord"],
+        keys[1], st, blackaug=st.use_blackaug)
+    loss_rgb_face = losses.photometric_loss(
+        face, batch["rgb_face_ori"],
+        weight=st.w_photometric * st.w_post_fusion)
+    total = total + loss_rgb_face
+    loss_rgb_metric = loss_rgb_metric + loss_rgb_face
+    if st.use_perceptual:
+        lpf = losses.perceptual_loss(frozen["lpips"], face,
+                                     batch["rgb_face_ori"],
+                                     weight=st.w_perceptual * st.w_post_fusion)
+        total = total + lpf
+        metrics["loss_perceptual_face"] = lpf
+
+    # 3. canonical-depth photometric v2 (training.py:462-477)
+    if st.use_canonical_depth_loss:
+        k = jnp.asarray(intrinsics(st.focal, st.face_h, st.face_w))
+        inv_k = jnp.linalg.inv(k)
+        depth = params["canonical_depth"]
+
+        def warp_one(face_gt, euler, trans, can_euler, can_trans):
+            rel = rel_pose_obs2can(can_euler[None], can_trans[None],
+                                   euler[None], trans[None])[0]
+            warped, _ = inverse_warp(face_gt, depth, rel, k, inv_k)
+            return warped
+
+        pred_canonical = jax.vmap(warp_one)(
+            batch["rgb_face_ori"], batch["euler"], batch["trans"],
+            batch["canonical_euler"], batch["canonical_trans"])
+        loss_mask = (batch["mask_head_canonical"]
+                     * (1.0 - batch["mask_face_canonical"]))
+        ld = losses.photometric_loss(pred_canonical, batch["rgb_face_zero"],
+                                     mask=loss_mask)
+        total = total + ld
+        metrics["loss_canonical_depth_photo"] = ld
+
+    # 4. SyncNet contrastive loss (training.py:491-557, it > 100k)
+    if st.sync_on and "syncnet" in frozen:
+        sync_p, sync_s = frozen["syncnet"]
+        n_total = batch["total_frame"].astype(jnp.float32)
+
+        crops = []
+        for fidx in range(st.sync_T):
+            cur_t = jnp.minimum(batch["index"].astype(jnp.float32) + fidx,
+                                n_total - 1.0)
+            lip_k = render_lip_ensemble(
+                params, batch["audio_window"][:, fidx], cur_t,
+                jax.random.fold_in(keys[2], fidx), st)
+            unet_in, _, _ = tf.post_fusion_composite(
+                lip_k, batch["rgb_face_zero"], batch["rgb_face_ori"],
+                batch["mask_lip_canonical"],
+                batch["coord_window"][:, fidx], st.lip_x, st.lip_y,
+                expand_divisor=st.expand_divisor)
+            fused, _ = unet_light.apply(unet_params, unet_state, unet_in,
+                                        train=False)
+            x0, y0, x1, y1 = st.face_bbox
+            crop = fused[:, y0:y1, x0:x1, :]
+            crop = jax.image.resize(crop, (b, 96, 96, 3), method="linear")
+            crops.append(crop)
+        rgb_window = jnp.stack(crops, axis=1)  # [B, T, 96, 96, 3]
+
+        g_pos = losses.sync_window_to_syncnet_input(rgb_window)
+        mel = jnp.transpose(batch["mel"], (0, 2, 3, 1))  # [B,80,16,1]
+        a_pos, v_pos, _ = syncnet_mod.apply(sync_p, sync_s, mel, g_pos)
+        sl_pos = losses.cosine_bce_loss(a_pos, v_pos, jnp.ones((b,)))
+
+        # negative window comes in reference layout [B, 3, T, 96, 96]
+        neg = jnp.transpose(batch["rgb_window_neg"], (0, 2, 3, 4, 1))
+        g_neg = losses.sync_window_to_syncnet_input(neg)
+        a_neg, v_neg, _ = syncnet_mod.apply(sync_p, sync_s, mel, g_neg)
+        sl_neg = losses.cosine_bce_loss(a_neg, v_neg, jnp.zeros((b,)))
+
+        ls = st.w_sync * (sl_pos + sl_neg)
+        total = total + ls
+        metrics["loss_sync"] = ls
+
+    metrics["loss_rgb"] = loss_rgb_metric
+    metrics["loss"] = total
+    metrics["psnr"] = losses.psnr_from_mse(loss_rgb_metric)
+    return total, (metrics, new_unet_state)
+
+
+def make_train_step(optimizer: optax.GradientTransformation,
+                    st: StepStatics, frozen, donate: bool = True):
+    """Build the jitted train step.
+
+    frozen: {'lpips': params, 'syncnet': (params, state)?} — closed over, so
+    they are constants in the compiled program.
+    """
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], key):
+        def loss_fn(trainable):
+            return compute_losses(trainable["model"], trainable["unet"],
+                                  state.unet_state, frozen, batch, key, st)
+
+        trainable = {"model": state.params, "unet": state.unet_params}
+        grads, (metrics, new_unet_state) = jax.grad(
+            loss_fn, has_aux=True)(trainable)
+        if st.postnet_frozen:
+            grads["unet"] = jax.tree.map(jnp.zeros_like, grads["unet"])
+        updates, new_opt = optimizer.update(grads, state.opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        new_state = TrainState(
+            params=new_trainable["model"],
+            unet_params=new_trainable["unet"],
+            unet_state=new_unet_state,
+            opt_state=new_opt,
+            it=state.it + 1,
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    """Adam + stepped LR decay (reference train.py:128,148-150).
+
+    Note: the reference's MultiStepLR steps per *epoch* with milestones
+    [200k, 400k] — which a May-sized run never reaches, so the effective
+    reference LR is constant.  We expose the milestones in *iterations*
+    (config 'scheduler_milestones'), a strict superset of behaviors.
+    """
+    tr = cfg["training"]
+    lr = tr["learning_rate"]
+    gamma = tr["scheduler_gamma"]
+    milestones = tr["scheduler_milestones"]
+    sched = optax.piecewise_constant_schedule(
+        lr, {int(m): gamma for m in milestones})
+    return optax.adam(sched)

@@ -1,0 +1,154 @@
+"""End-to-end training/inference smoke tests on a synthetic artifact tree,
+including an 8-device sharded step (the multi-node-without-a-cluster seam,
+SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech2lip_tpu.data.dataset import LipDataset, stack_batch
+from speech2lip_tpu.data.synthetic import make_synthetic_tree, synthetic_config
+from speech2lip_tpu.models import lpips as lpips_mod
+from speech2lip_tpu.models import syncnet as syncnet_mod
+from speech2lip_tpu.models import talking_face as tf
+from speech2lip_tpu.models import unet_light
+from speech2lip_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from speech2lip_tpu.train.train_step import (StepStatics, TrainState,
+                                             make_optimizer, make_train_step)
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    geo = make_synthetic_tree(root, n_frames=16, face=64, lip_h=32, lip_w=32)
+    cfg = synthetic_config(root, geo)
+    return root, geo, cfg
+
+
+def _build(cfg, geo, ds):
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params = tf.init(k1, cfg, canonical_depth_init=tf.prepare_canonical_depth_init(
+        ds.depth_canonical, ds.mask_head_canonical[..., 0]))
+    unet_p, unet_s = unet_light.init(k2)
+    frozen = {"lpips": lpips_mod.init(k3),
+              "syncnet": syncnet_mod.init(k4)}
+    st = StepStatics(
+        lip_h=geo["lip_h"], lip_w=geo["lip_w"],
+        lip_x=ds.lefttop_x, lip_y=ds.lefttop_y,
+        face_h=geo["face"], face_w=geo["face"], focal=geo["focal"],
+        face_bbox=(4, 4, geo["face"] - 4, geo["face"] - 4),
+    )
+    return params, unet_p, unet_s, frozen, st
+
+
+def test_dataset_reader_contract(tree):
+    root, geo, cfg = tree
+    ds = LipDataset(root, "train", cfg)
+    assert len(ds) == int(16 * 0.9)
+    s = ds.load_frame(0)
+    assert s["audio"].shape == (16, 29)
+    assert s["rgb"].shape == (geo["lip_h"], geo["lip_w"], 3)
+    assert s["coord"].shape == (geo["face"], geo["face"], 2)
+    assert s["mel"].shape == (1, 80, 16)
+    assert s["audio_window"].shape == (5, 16, 29)
+    assert s["coord_window"].shape == (5, geo["face"], geo["face"], 2)
+    assert s["rgb_window_neg"].shape == (3, 5, 96, 96)
+    assert s["rgb_face_zero"].shape == (geo["face"], geo["face"], 3)
+    # lip bbox lands inside the face
+    assert 0 <= ds.lefttop_x <= geo["face"] - geo["lip_w"]
+    assert 0 <= ds.lefttop_y <= geo["face"] - geo["lip_h"]
+
+    val = LipDataset(root, "val", cfg)
+    assert len(val) == cfg["data"]["val_split_frames"]
+    test = LipDataset(root, "test", cfg)
+    s2 = test.load_frame(0)
+    assert "rgb" not in s2 and s2["audio"].shape == (16, 29)
+
+
+def test_train_step_runs_and_decreases_loss(tree):
+    root, geo, cfg = tree
+    ds = LipDataset(root, "train", cfg)
+    params, unet_p, unet_s, frozen, st = _build(cfg, geo, ds)
+    opt = make_optimizer(cfg)
+    trainable = {"model": params, "unet": unet_p}
+    state = TrainState(params, unet_p, unet_s, opt.init(trainable),
+                       jnp.int32(0))
+    step = make_train_step(opt, st, frozen, donate=False)
+
+    batch = stack_batch([ds.load_frame(i) for i in range(2)])
+    batch = jax.tree.map(jnp.asarray, batch)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # optimizing the same batch must descend
+
+
+def test_train_step_sync_stage(tree):
+    root, geo, cfg = tree
+    ds = LipDataset(root, "train", cfg)
+    params, unet_p, unet_s, frozen, st = _build(cfg, geo, ds)
+    import dataclasses
+    st = dataclasses.replace(st, sync_on=True, postnet_frozen=True)
+    opt = make_optimizer(cfg)
+    trainable = {"model": params, "unet": unet_p}
+    state = TrainState(params, unet_p, unet_s, opt.init(trainable),
+                       jnp.int32(0))
+    step = make_train_step(opt, st, frozen, donate=False)
+    batch = stack_batch([ds.load_frame(0)])
+    batch = jax.tree.map(jnp.asarray, batch)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_sync"]))
+    # frozen post-net must not move
+    for a, b in zip(jax.tree.leaves(state.unet_params),
+                    jax.tree.leaves(new_state.unet_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # model params must move
+    moved = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree.leaves(state.params),
+                                jax.tree.leaves(new_state.params)))
+    assert moved
+
+
+def test_sharded_train_step_8_devices(tree):
+    root, geo, cfg = tree
+    assert jax.device_count() == 8
+    ds = LipDataset(root, "train", cfg)
+    params, unet_p, unet_s, frozen, st = _build(cfg, geo, ds)
+    opt = make_optimizer(cfg)
+    mesh = make_mesh((8, 1))
+    trainable = {"model": params, "unet": unet_p}
+    state = TrainState(params, unet_p, unet_s, opt.init(trainable),
+                       jnp.int32(0))
+    state = replicate(state, mesh)
+    frozen = replicate(frozen, mesh)
+    step = make_train_step(opt, st, frozen, donate=False)
+    batch = stack_batch([ds.load_frame(i % len(ds)) for i in range(8)])
+    batch = shard_batch(batch, mesh)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # sharded result equals the single-device result on identical inputs
+    step1 = make_train_step(opt, st, frozen, donate=False)
+    host_batch = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), batch)
+    _, metrics_1dev = step1(state, host_batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics_1dev["loss"]), rtol=2e-4)
+
+
+def test_renderer_inference(tree):
+    root, geo, cfg = tree
+    ds = LipDataset(root, "val", cfg)
+    params, unet_p, unet_s, frozen, st = _build(cfg, geo, ds)
+    from speech2lip_tpu.infer.renderer import Renderer
+    r = Renderer(cfg, params, unet_p, unet_s, use_pallas=False)
+    batch = stack_batch([ds.load_frame(0), ds.load_frame(1)])
+    batch = jax.tree.map(jnp.asarray, batch)
+    out = r(batch, ds.lefttop_x, ds.lefttop_y)
+    assert out["lip"].shape == (2, geo["lip_h"], geo["lip_w"], 3)
+    assert out["face"].shape == (2, geo["face"], geo["face"], 3)
+    assert np.isfinite(np.asarray(out["face"])).all()
