@@ -1,0 +1,106 @@
+"""Benchmark: rendered frames/sec/chip on the May geometry (500² face,
+120×80 lip), the BASELINE.md north-star metric (target ≥250 fps/chip).
+
+Measures the full inference pipeline — audio encoder → pixel MLP (fused
+Pallas kernel on TPU) → paste/blend/backward-warp compositing → post-fusion
+U-Net — as one jitted program, steady-state, data resident in HBM.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+BASELINE_FPS = 250.0  # north star, BASELINE.json
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from speech2lip_tpu.core.config import default_config
+    from speech2lip_tpu.data.synthetic import synthetic_batch
+    from speech2lip_tpu.infer.renderer import render_face_batch
+    from speech2lip_tpu.models import talking_face as tf
+    from speech2lip_tpu.models import unet_light
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+    batch = 8 if on_tpu else 2
+    face, lip_h, lip_w = 500, 80, 120
+
+    cfg = default_config()
+    cfg["model"]["canonical_depth_height"] = face
+    cfg["model"]["canonical_depth_width"] = face
+
+    raw, geo = synthetic_batch(batch, face=face, lip_h=lip_h, lip_w=lip_w)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = tf.init(k1, cfg)
+    unet_p, unet_s = unet_light.init(k2)
+
+    # static warp window validated against the coord grids (the production
+    # fast path; data.windows computes this per dataset)
+    from speech2lip_tpu.data.windows import compute_warp_window
+    box = tf.expanded_lip_box(lip_h, lip_w, geo["lip_x"], geo["lip_y"])
+    window = compute_warp_window(
+        [raw["coord"][i] for i in range(batch)], box, face, face, margin=16)
+
+    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    if on_tpu:
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if x.dtype == jnp.float32 else x, t)
+        params_c, unet_p_c, unet_s_c = cast(params), cast(unet_p), cast(unet_s)
+    else:
+        params_c, unet_p_c, unet_s_c = params, unet_p, unet_s
+
+    dev_batch = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x)), raw)
+
+    def build(use_pallas):
+        fn = jax.jit(functools.partial(
+            render_face_batch,
+            lip_x=geo["lip_x"], lip_y=geo["lip_y"],
+            lip_h=lip_h, lip_w=lip_w, window=window,
+            use_pallas=use_pallas, compute_dtype=compute_dtype))
+        out = fn(params_c, unet_p_c, unet_s_c, dev_batch)  # compile+smoke
+        jax.block_until_ready(out)
+        return fn
+
+    try:
+        fn = build(use_pallas=on_tpu)
+    except Exception as e:  # pallas fallback
+        print(f"# pallas path failed ({type(e).__name__}: {e}); XLA fallback",
+              file=sys.stderr)
+        fn = build(use_pallas=False)
+
+    # steady-state timing; NOTE: force a host readback to synchronize —
+    # block_until_ready is not a reliable barrier under tunneled backends
+    def sync(o):
+        return float(jnp.sum(o["face"][0, 0, 0]))
+
+    iters = 20 if on_tpu else 3
+    out = fn(params_c, unet_p_c, unet_s_c, dev_batch)
+    sync(out)
+    best = float("inf")
+    for _trial in range(3 if on_tpu else 1):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(params_c, unet_p_c, unet_s_c, dev_batch)
+        sync(out)
+        best = min(best, time.perf_counter() - t0)
+    fps = batch * iters / best
+
+    print(json.dumps({
+        "metric": "render_fps_per_chip_may500",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

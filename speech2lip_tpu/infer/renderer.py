@@ -69,11 +69,16 @@ def render_lip_batch(params, audio: jnp.ndarray, t_indices: jnp.ndarray,
 def render_face_batch(params, unet_params, unet_state, batch: Dict[str, Any],
                       *, lip_x: int, lip_y: int, lip_h: int, lip_w: int,
                       expand_divisor: int = 5, use_pallas: bool = False,
-                      compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+                      compute_dtype=jnp.float32,
+                      window: Optional[tuple] = None) -> Dict[str, jnp.ndarray]:
     """Full inference step for a batch of frames.
 
     batch keys: audio [B,16,29], index [B], rgb_face_zero [B,H,W,3],
     rgb_face_ori [B,H,W,3], mask_lip_canonical [B,H,W,3], coord [B,H,W,2].
+
+    ``window``: optional static (y0, x0, h, w) observed-space crop that is
+    guaranteed (validated via data.windows.compute_warp_window) to contain
+    all warped-lip pixels — restricts the warp gather to the lip region.
 
     Returns dict with 'lip' [B,lh,lw,3] and 'face' [B,H,W,3] (post-fusion
     output, reference inference.py:161-178).
@@ -85,7 +90,7 @@ def render_face_batch(params, unet_params, unet_state, batch: Dict[str, Any],
     unet_in, _, _ = tf.post_fusion_composite(
         rgb_lip, batch["rgb_face_zero"], batch["rgb_face_ori"],
         batch["mask_lip_canonical"], batch["coord"], lip_x, lip_y,
-        expand_divisor=expand_divisor)
+        expand_divisor=expand_divisor, window=window)
     face, _ = unet_light.apply(unet_params, unet_state,
                                unet_in.astype(compute_dtype), train=False)
     return {"lip": rgb_lip, "face": face.astype(jnp.float32)}
@@ -95,18 +100,22 @@ class Renderer:
     """Compiled renderer bound to a config's static geometry."""
 
     def __init__(self, cfg: Dict[str, Any], params, unet_params, unet_state,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 window: Optional[tuple] = None):
         d = cfg["data"]
         self.lip_h = int(d["height"])
         self.lip_w = int(d["width"])
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
+        if window is None:
+            window = d.get("warp_window")
         compute_dtype = jnp.dtype(cfg["model"].get("compute_dtype", "float32"))
         self._params = (params, unet_params, unet_state)
         self._fn = jax.jit(functools.partial(
             render_face_batch,
             expand_divisor=int(d.get("expand_mask_divisor", 5)),
             use_pallas=use_pallas, compute_dtype=compute_dtype,
+            window=tuple(window) if window is not None else None,
         ), static_argnames=("lip_x", "lip_y", "lip_h", "lip_w"))
 
     def __call__(self, batch: Dict[str, Any], lip_x: int, lip_y: int):

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from speech2lip_tpu.ops import nn as snn
 from speech2lip_tpu.ops.embedders import fourier_embed, fourier_embed_dim, time_embed
-from speech2lip_tpu.ops.grid_sample import grid_sample
+from speech2lip_tpu.ops.grid_sample import grid_sample, warp_box_mask
 
 
 AUDIO_CODE_DIM = 64  # output of the audio encoder (tf_nerf.py:64-65)
@@ -222,10 +222,20 @@ def expanded_lip_box_mask(h: int, w: int, lip_h: int, lip_w: int,
     return box.astype(dtype)[None, :, :, None]  # [1, H, W, 1]
 
 
+def expanded_lip_box(lip_h: int, lip_w: int, lip_x: int, lip_y: int,
+                     divisor: int = 5):
+    """(x0, x1, y0, y1) half-open bounds of the expanded lip rectangle
+    (tf_nerf.py:354-364): rows [y-p, y+lh+2p), cols [x-p, x+lw+p),
+    p = lip_w // divisor."""
+    p = lip_w // divisor
+    return (lip_x - p, lip_x + lip_w + p, lip_y - p, lip_y + lip_h + 2 * p)
+
+
 def post_fusion_composite(rgb_lip, face_canonical, rgb_gt, mask_lip,
                           coord, lip_x: int, lip_y: int,
                           expand_divisor: int = 5,
-                          blackaug_noise: Optional[tuple] = None):
+                          blackaug_noise: Optional[tuple] = None,
+                          window: Optional[tuple] = None):
     """Composite the rendered lip into the observed-pose face.
 
     Mirrors post_fusion2_onlylip_light (tf_nerf.py:320-386) up to (but not
@@ -234,11 +244,21 @@ def post_fusion_composite(rgb_lip, face_canonical, rgb_gt, mask_lip,
       ``coord`` -> binarize warped mask -> optional black-hole aug -> blend
       with the observed ground truth.
 
+    TPU-first redesign of the warp stage: the warped mask is the closed-form
+    ``warp_box_mask`` (no gather), and with a static ``window`` the image
+    gather runs only on the observed-space rows/cols that can contain warped
+    lip pixels — the blend everywhere else is identically ``rgb_gt``.  The
+    caller must validate the window against the dataset's coord grids
+    (data.windows.compute_warp_window); ``window=None`` is the always-safe
+    full-frame path.  The blackaug branch (train only) needs the full-frame
+    warp and ignores ``window``.
+
     Args:
       rgb_lip: [B, lh, lw, 3]; face_canonical/rgb_gt/mask_lip: [B, H, W, 3];
       coord: [B, H, W, 2] canonical→observed grid in [-1, 1];
       blackaug_noise: optional (noise1 [B,H,W,1], noise2 [B,H,W,1], apply
-        bool) from train.losses.black_hole_noise.
+        bool) from train.losses.black_hole_noise;
+      window: optional static (y0, x0, h, w) observed-space crop.
     Returns:
       (unet_input [B, H, W, 3], rgb_gt' possibly noise-swapped,
        merged_canonical [B, H, W, 3]).
@@ -247,13 +267,24 @@ def post_fusion_composite(rgb_lip, face_canonical, rgb_gt, mask_lip,
     h, w = face_canonical.shape[1:3]
     merged_canonical = paste_lip(rgb_lip, face_canonical, mask_lip,
                                  lip_x, lip_y)
-    box = expanded_lip_box_mask(h, w, lh, lw, lip_x, lip_y, expand_divisor,
-                                merged_canonical.dtype)
-    box = jnp.broadcast_to(box, (b, h, w, 1))
+    box = expanded_lip_box(lh, lw, lip_x, lip_y, expand_divisor)
+
+    if window is not None and blackaug_noise is None:
+        wy0, wx0, wh, ww = window
+        grid_w = jax.lax.slice(coord, (0, wy0, wx0, 0),
+                               (b, wy0 + wh, wx0 + ww, 2))
+        rgb_merged_w = grid_sample(merged_canonical, grid_w,
+                                   padding_mode="zeros")
+        mask_w = warp_box_mask(grid_w, box, h, w).astype(rgb_merged_w.dtype)
+        gt_w = jax.lax.slice(rgb_gt, (0, wy0, wx0, 0),
+                             (b, wy0 + wh, wx0 + ww, 3))
+        blended = mask_w * rgb_merged_w + (1.0 - mask_w) * gt_w
+        unet_input = jax.lax.dynamic_update_slice(
+            rgb_gt, blended.astype(rgb_gt.dtype), (0, wy0, wx0, 0))
+        return unet_input, rgb_gt, merged_canonical
 
     rgb_merged = grid_sample(merged_canonical, coord, padding_mode="zeros")
-    mask_warped = grid_sample(box, coord, padding_mode="zeros")
-    mask_warped = (mask_warped != 0).astype(rgb_merged.dtype)
+    mask_warped = warp_box_mask(coord, box, h, w).astype(rgb_merged.dtype)
 
     if blackaug_noise is not None:
         noise1, noise2, apply = blackaug_noise

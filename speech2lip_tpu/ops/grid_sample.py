@@ -74,3 +74,44 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
     return top * (1.0 - wy) + bot * wy
+
+
+def warp_box_mask(grid: jnp.ndarray, box, height: int, width: int,
+                  binarize: bool = True) -> jnp.ndarray:
+    """Bilinear sample of an axis-aligned rectangle indicator — in closed
+    form, gather-free.
+
+    Equivalent to ``grid_sample(box_image, grid, 'zeros')`` where box_image
+    is 1 on rows [y0, y1) × cols [x0, x1) (clipped to the image) and 0
+    elsewhere, exploiting that a separable indicator bilinearly interpolates
+    as a product of per-axis coverages.  This removes the dominant gather in
+    the post-fusion compositing path (reference tf_nerf.py:361-369 samples a
+    literal mask image).
+
+    Args:
+      grid: [..., 2] (x, y) in [-1, 1], torch convention.
+      box: (x0, x1, y0, y1) half-open pixel bounds of the rectangle.
+    Returns:
+      [..., 1]: binarized (≠0 → 1) coverage if ``binarize``, else the exact
+      bilinear value.
+    """
+    x0b, x1b, y0b, y1b = box
+    x_lo, x_hi = max(int(x0b), 0), min(int(x1b), width) - 1
+    y_lo, y_hi = max(int(y0b), 0), min(int(y1b), height) - 1
+
+    ix = ((grid[..., 0] + 1.0) * width - 1.0) * 0.5
+    iy = ((grid[..., 1] + 1.0) * height - 1.0) * 0.5
+    fx = jnp.floor(ix)
+    fy = jnp.floor(iy)
+    wx = ix - fx
+    wy = iy - fy
+
+    def cov(f, w, lo, hi):
+        in0 = ((f >= lo) & (f <= hi)).astype(grid.dtype)
+        in1 = ((f + 1 >= lo) & (f + 1 <= hi)).astype(grid.dtype)
+        return in0 * (1.0 - w) + in1 * w
+
+    val = cov(fx, wx, x_lo, x_hi) * cov(fy, wy, y_lo, y_hi)
+    if binarize:
+        val = (val != 0).astype(grid.dtype)
+    return val[..., None]

@@ -1,0 +1,53 @@
+"""Tests of the gather-free warped box mask and the static-window composite
+fast path (both must be bit-equivalent to the reference full-frame math)."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from speech2lip_tpu.data.windows import compute_warp_window, validate_window
+from speech2lip_tpu.models import talking_face as tf
+from speech2lip_tpu.ops.grid_sample import warp_box_mask
+
+
+def test_warp_box_mask_matches_gathered_grid_sample(rng):
+    H = W = 40
+    box = (7, 29, 11, 33)  # x0, x1, y0, y1
+    grid = rng.uniform(-1.2, 1.2, (2, 25, 31, 2)).astype(np.float32)
+
+    out = np.asarray(warp_box_mask(jnp.asarray(grid), box, H, W))
+
+    box_img = torch.zeros(2, 1, H, W)
+    box_img[:, :, box[2]:box[3], box[0]:box[1]] = 1.0
+    ref = F.grid_sample(box_img, torch.from_numpy(grid), mode="bilinear",
+                        padding_mode="zeros", align_corners=False)
+    ref = (ref != 0).float().permute(0, 2, 3, 1).numpy()
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_windowed_composite_equals_full(rng):
+    B, H, W, lh, lw = 2, 48, 48, 12, 16
+    lip_x, lip_y = 16, 28
+    rgb_lip = rng.uniform(0, 1, (B, lh, lw, 3)).astype(np.float32)
+    face = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    gt = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    mask = (rng.uniform(0, 1, (B, H, W, 3)) > 0.5).astype(np.float32)
+    # near-identity warp so the lip stays around its own region
+    ys, xs = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+                         indexing="ij")
+    coord = np.stack([xs, ys], -1)[None].repeat(B, 0).astype(np.float32)
+    coord += 0.01 * rng.standard_normal(coord.shape).astype(np.float32)
+
+    box = tf.expanded_lip_box(lh, lw, lip_x, lip_y)
+    window = compute_warp_window([coord[i] for i in range(B)], box, H, W)
+    assert window is not None
+    assert validate_window([coord[i] for i in range(B)], box, window, H, W)
+
+    args = (jnp.asarray(rgb_lip), jnp.asarray(face), jnp.asarray(gt),
+            jnp.asarray(mask), jnp.asarray(coord), lip_x, lip_y)
+    full, _, _ = tf.post_fusion_composite(*args)
+    fast, _, _ = tf.post_fusion_composite(*args, window=window)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
