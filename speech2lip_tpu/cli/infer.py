@@ -1,0 +1,85 @@
+"""Inference CLI (reference inference.py:53-178 surface).
+
+Usage:
+    python -m speech2lip_tpu.cli.infer configs/may/may.yaml \
+        [--output_dir NAME] [--model_path P | --model_iter N] \
+        [--use_new_audio] [--batch N]
+
+Renders every frame of the val split (or the audio_test clip with
+--use_new_audio), writes rendering_result/<out>/postfusion/%05d.jpg in BGR
+like the reference (inference.py:174-178), batched over frames.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Render lip-synced frames.")
+    parser.add_argument("config", type=str)
+    parser.add_argument("--output_dir", type=str, default="test")
+    parser.add_argument("--model_path", type=str, default=None)
+    parser.add_argument("--model_iter", type=str, default=None)
+    parser.add_argument("--use_new_audio", action="store_true")
+    parser.add_argument("--batch", type=int, default=8)
+    args = parser.parse_args()
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speech2lip_tpu.core.checkpoint import CheckpointManager
+    from speech2lip_tpu.core.config import load_config
+    from speech2lip_tpu.data.dataset import LipDataset, stack_batch
+    from speech2lip_tpu.data.windows import compute_warp_window
+    from speech2lip_tpu.infer.renderer import Renderer
+    from speech2lip_tpu.models import talking_face as tf
+    from speech2lip_tpu.train.trainer import init_models
+    from speech2lip_tpu.train.train_step import TrainState
+
+    cfg = load_config(args.config)
+    mode = "test" if args.use_new_audio else "val"
+    ds = LipDataset(cfg["data"]["path"], mode, cfg)
+
+    params, unet_p, unet_s, _ = init_models(cfg, ds)
+    mgr = CheckpointManager(cfg["training"]["out_dir"])
+    name = args.model_path or (
+        f"model_{args.model_iter}.ckpt" if args.model_iter else None)
+    like = TrainState(params, unet_p, unet_s, None, jnp.int32(0))
+    state, scalars = mgr.restore(like, name=name)
+    print(f"loaded checkpoint at it={scalars.get('it', 'fresh')}")
+
+    # compute + cache the warp window for the fast composite path
+    window = cfg["data"].get("warp_window")
+    if window is None and os.path.isdir(ds.coords_dir):
+        box = tf.expanded_lip_box(ds.lip_h, ds.lip_w,
+                                  ds.lefttop_x, ds.lefttop_y,
+                                  cfg["data"].get("expand_mask_divisor", 5))
+        coords = (ds._coord(i) for i in range(len(ds)))
+        window = compute_warp_window(coords, box, ds.face_h, ds.face_w)
+        print(f"warp window: {window}")
+
+    renderer = Renderer(cfg, state.params, state.unet_params,
+                        state.unet_state, window=window)
+
+    out_dir = os.path.join("rendering_result", args.output_dir, "postfusion")
+    os.makedirs(out_dir, exist_ok=True)
+
+    n = len(ds)
+    for start in range(0, n, args.batch):
+        idxs = list(range(start, min(start + args.batch, n)))
+        batch = stack_batch([ds.load_frame(i) for i in idxs])
+        batch = jax.tree.map(jnp.asarray, batch)
+        out = renderer(batch, ds.lefttop_x, ds.lefttop_y)
+        faces = np.asarray(out["face"])
+        for j, i in enumerate(idxs):
+            bgr = cv2.cvtColor(np.clip(faces[j], 0, 1), cv2.COLOR_RGB2BGR)
+            cv2.imwrite(os.path.join(out_dir, f"{i + 1:05d}.jpg"), bgr * 255)
+    print(f"wrote {n} frames to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,228 @@
+"""Training driver: the outer loop around the jitted train step.
+
+Equivalent of the reference's train.py main loop (reference train.py:173-281)
+with the reference's operational features — resume-by-default, rolling +
+step-tagged + best checkpoints, periodic validation/visualization, NaN
+detection, time-limited exit for preemptible scheduling — rebuilt around a
+device mesh:
+
+- staging (sync loss on / post-net frozen after ``sync_start_iter``) is a
+  static recompile boundary, not a per-step branch;
+- frames shard over the mesh 'data' axis; host-side data slicing replaces
+  DistributedSampler (reference train.py:101-122);
+- process-0 gating for logging/checkpoints (reference train.py:235-244).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech2lip_tpu.core.checkpoint import CheckpointManager
+from speech2lip_tpu.core.metrics import MetricsWriter, is_main_process, setup_logger
+from speech2lip_tpu.data.dataset import LipDataset, stack_batch
+from speech2lip_tpu.models import lpips as lpips_mod
+from speech2lip_tpu.models import syncnet as syncnet_mod
+from speech2lip_tpu.models import talking_face as tf_model
+from speech2lip_tpu.models import unet_light
+from speech2lip_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from speech2lip_tpu.train.train_step import (StepStatics, TrainState,
+                                             make_optimizer, make_train_step)
+from speech2lip_tpu.infer.renderer import render_lip_batch
+
+
+def build_statics(cfg: Dict[str, Any], ds: LipDataset,
+                  it: int) -> StepStatics:
+    tr = cfg["training"]
+    d = cfg["data"]
+    sync_on = (tr["use_syncloss"] and it > tr["sync_start_iter"])
+    frozen = (tr["fix_post_net"] or it > tr["postnet_freeze_iter"])
+    bbox = (0, 0, ds.face_w, ds.face_h)
+    if getattr(ds, "face_bbox_dict", None):
+        key = "{:05d}.jpg".format(ds.canonical_idx + 1)
+        if key in ds.face_bbox_dict:
+            x, y, x2, y2 = [int(v) for v in ds.face_bbox_dict[key][:4]]
+            bbox = (x, y, x2, y2)
+    return StepStatics(
+        lip_h=int(d["height"]), lip_w=int(d["width"]),
+        lip_x=ds.lefttop_x, lip_y=ds.lefttop_y,
+        face_h=ds.face_h, face_w=ds.face_w,
+        focal=float(d["face_img_focal"]),
+        expand_divisor=int(d.get("expand_mask_divisor", 5)),
+        w_photometric=float(cfg["model"].get("lambda_rgb", 1.0)),
+        w_perceptual=float(tr["w_perceptual_loss"]),
+        w_post_fusion=float(tr["w_post_fusion"]),
+        w_sync=float(tr["w_syncloss"]),
+        use_perceptual=bool(tr["use_perceptual_loss"]),
+        use_canonical_depth_loss=bool(tr["use_canonical_depth_loss_photo_v2"]),
+        use_blackaug=bool(cfg["model"]["use_post_fusion_blackaug"]),
+        sync_on=sync_on, postnet_frozen=frozen,
+        face_bbox=bbox,
+        ensemble=bool(tr["use_local_ensemble"]),
+    )
+
+
+def init_models(cfg: Dict[str, Any], ds: LipDataset, seed: int = 0):
+    keys = jax.random.split(jax.random.PRNGKey(seed), 4)
+    depth_init = None
+    if cfg["model"]["use_canonical_depth"] and hasattr(ds, "depth_canonical"):
+        depth_init = tf_model.prepare_canonical_depth_init(
+            ds.depth_canonical, ds.mask_head_canonical[..., 0])
+    params = tf_model.init(keys[0], cfg, canonical_depth_init=depth_init)
+    unet_p, unet_s = unet_light.init(keys[1])
+    frozen = {"lpips": lpips_mod.init(keys[2])}
+    if cfg["training"]["use_syncloss"]:
+        frozen["syncnet"] = syncnet_mod.init(keys[3])
+    return params, unet_p, unet_s, frozen
+
+
+def load_frozen_weights(cfg: Dict[str, Any], frozen: Dict[str, Any]):
+    """Load converted pretrained LPIPS / SyncNet weights when available
+    (reference training.py:76,83-90: lpips alex.pth + lipsync_expert.pth)."""
+    import os
+    from speech2lip_tpu.core import checkpoint as ckpt
+    for name in ("lpips", "syncnet"):
+        path = cfg["training"].get(f"{name}_weights",
+                                   f"models/{name}_weights.ckpt")
+        if path and os.path.exists(path) and name in frozen:
+            frozen[name], _ = ckpt.load(path, frozen[name])
+    return frozen
+
+
+def batch_iterator(ds: LipDataset, batch_size: int, shuffle: bool,
+                   seed: int, n_proc: int = 1,
+                   proc_id: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Per-host sharded epoch iterator (the DistributedSampler equivalent)."""
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(ds))
+    if shuffle:
+        rng.shuffle(order)
+    order = order[proc_id::n_proc]
+    for i in range(0, len(order) - batch_size + 1, batch_size):
+        idxs = order[i:i + batch_size]
+        yield stack_batch([ds.load_frame(int(j)) for j in idxs])
+
+
+def evaluate_psnr(params, cfg, ds: LipDataset, max_frames: int = 64) -> float:
+    """Val PSNR over the lip render (reference training.py:742-751)."""
+    d = cfg["data"]
+    lip_h, lip_w = int(d["height"]), int(d["width"])
+    fn = jax.jit(lambda p, a, t: render_lip_batch(p, a, t, lip_h, lip_w))
+    mses = []
+    n = min(len(ds), max_frames)
+    for i in range(n):
+        s = ds.load_frame(i)
+        rgb = fn(params, jnp.asarray(s["audio"])[None],
+                 jnp.asarray([float(s["index"])]))
+        mses.append(float(jnp.mean((rgb[0] - jnp.asarray(s["rgb"])) ** 2)))
+    mse = float(np.mean(mses))
+    return -10.0 * np.log(mse) / np.log(10.0)
+
+
+def fit(cfg: Dict[str, Any], max_iters: Optional[int] = None,
+        exit_after: Optional[float] = None) -> TrainState:
+    """Run the training loop until max_iters / exit_after. Returns the state."""
+    tr = cfg["training"]
+    out_dir = tr["out_dir"]
+    logger = setup_logger(out_dir, tr.get("logfile", "train.log"))
+    metrics_w = MetricsWriter(out_dir)
+    ckpt_mgr = CheckpointManager(out_dir)
+
+    ds = LipDataset(cfg["data"]["path"], "train", cfg)
+    val_ds = LipDataset(cfg["data"]["path"], "val", cfg)
+
+    params, unet_p, unet_s, frozen = init_models(cfg, ds, tr.get("seed", 0))
+    frozen = load_frozen_weights(cfg, frozen)
+    opt = make_optimizer(cfg)
+    trainable = {"model": params, "unet": unet_p}
+    state = TrainState(params, unet_p, unet_s, opt.init(trainable),
+                       jnp.int32(0))
+
+    # resume-by-default (reference train.py:134-139); ``it`` counts
+    # completed optimizer steps
+    state, scalars = ckpt_mgr.restore(state, name=None)
+    it = int(scalars.get("it", 0))
+    epoch_it = int(scalars.get("epoch_it", -1))
+    metric_best = float(scalars.get("loss_val_best", -np.inf))
+    logger.info("resume at it=%d epoch=%d best=%.4f", it, epoch_it, metric_best)
+
+    mesh = make_mesh(tuple(cfg["parallel"]["mesh_shape"])
+                     if cfg["parallel"].get("mesh_shape") else None)
+    state = replicate(state, mesh)
+    frozen_dev = replicate(frozen, mesh)
+
+    statics = build_statics(cfg, ds, max(it, 0))
+    step_fn = make_train_step(opt, statics, frozen_dev)
+    key = jax.random.PRNGKey(tr.get("seed", 0))
+
+    t0 = time.time()
+    t0b = time.time()
+    batch_size = int(tr["batch_size"]) * mesh.devices.shape[0]
+    n_proc, proc_id = jax.process_count(), jax.process_index()
+
+    while True:
+        epoch_it += 1
+        for host_batch in batch_iterator(ds, batch_size, shuffle=True,
+                                         seed=epoch_it, n_proc=n_proc,
+                                         proc_id=proc_id):
+            it += 1
+
+            # staging boundary: re-jit once (reference train.py:188-197)
+            new_statics = build_statics(cfg, ds, it)
+            if new_statics != statics:
+                logger.info("staging change at it=%d: sync_on=%s frozen=%s",
+                            it, new_statics.sync_on, new_statics.postnet_frozen)
+                statics = new_statics
+                step_fn = make_train_step(opt, statics, frozen_dev)
+
+            if not statics.sync_on:
+                host_batch = {k: v for k, v in host_batch.items()
+                              if k not in ("mel", "audio_window",
+                                           "coord_window", "rgb_window_neg")}
+            batch = shard_batch(host_batch, mesh)
+            state, m = step_fn(state, batch, jax.random.fold_in(key, it))
+
+            if tr["print_every"] > 0 and it % tr["print_every"] == 0:
+                loss = float(m["loss"])
+                if not np.isfinite(loss):
+                    raise FloatingPointError(f"non-finite loss at it={it}")
+                logger.info("[Epoch %02d] it=%d loss=%.4f psnr=%.2f t=%.2fs",
+                            epoch_it, it, loss, float(m["psnr"]),
+                            time.time() - t0b)
+                metrics_w.scalars(it, m, prefix="train/")
+                t0b = time.time()
+
+            if (tr["checkpoint_every"] > 0 and it % tr["checkpoint_every"] == 0
+                    and is_main_process()):
+                ckpt_mgr.save_latest(state, epoch_it=epoch_it, it=it,
+                                     loss_val_best=metric_best)
+            if tr["backup_every"] > 0 and it % tr["backup_every"] == 0 \
+                    and is_main_process():
+                ckpt_mgr.save_step(state, it, epoch_it=epoch_it,
+                                   loss_val_best=metric_best)
+
+            if (tr["validate_every"] > 0 and it % tr["validate_every"] == 0
+                    and it != 0 and is_main_process()):
+                psnr = evaluate_psnr(state.params, cfg, val_ds)
+                metrics_w.scalars(it, {"psnr": psnr}, prefix="val/")
+                logger.info("validation psnr=%.4f", psnr)
+                if psnr > metric_best:
+                    metric_best = psnr
+                    ckpt_mgr.save_best(state, epoch_it=epoch_it, it=it,
+                                       loss_val_best=metric_best)
+
+            if max_iters is not None and it >= max_iters:
+                ckpt_mgr.save_latest(state, epoch_it=epoch_it, it=it,
+                                     loss_val_best=metric_best)
+                return state
+            if exit_after is not None and time.time() - t0 >= exit_after:
+                # preemptible-exit contract (reference train.py:274-278)
+                logger.info("time limit reached; checkpoint + exit(3)")
+                ckpt_mgr.save_latest(state, epoch_it=epoch_it, it=it,
+                                     loss_val_best=metric_best)
+                raise SystemExit(3)
