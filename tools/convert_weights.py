@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Convert reference PyTorch / TensorFlow checkpoints to framework pytrees.
+
+Supported sources (each optional — convert what you have):
+- model_may.pt (reference CheckpointIO format): TalkingFace + post-fusion
+  U-Net + canonical depth → talking_face/unet param pytrees
+- lipsync_expert.pth (Wav2Lip SyncNet): → syncnet pytree
+- lpips alex.pth + lpips_weights_v0.1/alex.pth: → lpips pytree
+- deepspeech-0_1_0-b90017e8.pb (needs tensorflow installed): → deepspeech
+  pytree
+
+Layout mapping: torch Linear [out,in] → [in,out]; Conv2d OIHW → HWIO;
+Conv1d OIL → LIO; see speech2lip_tpu/ops/nn.py.
+
+Usage:
+  python tools/convert_weights.py talking_face model_may.pt out_dir/
+  python tools/convert_weights.py syncnet lipsync_expert.pth out.ckpt
+  python tools/convert_weights.py lpips alex.pth lin_alex.pth out.ckpt
+  python tools/convert_weights.py deepspeech model.pb out.ckpt
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def _t(x):
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def _linear(sd, prefix):
+    return {"w": _t(sd[prefix + ".weight"]).T.copy(),
+            "b": _t(sd[prefix + ".bias"])}
+
+
+def _conv2d(sd, prefix, bias=True):
+    p = {"w": _t(sd[prefix + ".weight"]).transpose(2, 3, 1, 0).copy()}
+    if bias and prefix + ".bias" in sd:
+        p["b"] = _t(sd[prefix + ".bias"])
+    return p
+
+
+def _conv1d(sd, prefix):
+    return {"w": _t(sd[prefix + ".weight"]).transpose(2, 1, 0).copy(),
+            "b": _t(sd[prefix + ".bias"])}
+
+
+def _bn(sd, prefix):
+    params = {"scale": _t(sd[prefix + ".weight"]),
+              "bias": _t(sd[prefix + ".bias"])}
+    state = {"mean": _t(sd[prefix + ".running_mean"]),
+             "var": _t(sd[prefix + ".running_var"])}
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# TalkingFace + U-Net (reference tf_nerf.py state_dict names)
+# ---------------------------------------------------------------------------
+
+def convert_talking_face(sd):
+    """state_dict of reference TalkingFace → (tf_params, unet_params,
+    unet_state) pytrees matching models/talking_face.py + unet_light.py."""
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    params = {
+        "audio_enc": {
+            "conv": [_conv1d(sd, f"encoder_conv.{i}") for i in (0, 2, 4, 6)],
+            "fc": [_linear(sd, "encoder_fc1.0"), _linear(sd, "encoder_fc1.2")],
+        },
+        "fc_uv": _linear(sd, "fc_uv"),
+        "fc_uv_skip": _linear(sd, "fc_uv_skip"),
+        "fc_audio": _linear(sd, "fc_audio"),
+        "fc_audio_skip": _linear(sd, "fc_audio_skip"),
+        "fc_time": _linear(sd, "fc_time"),
+        "fc_time_skip": _linear(sd, "fc_time_skip"),
+        "trunk": [_linear(sd, f"pts_linears.{i}") for i in range(8)],
+        "output": _linear(sd, "output_linear"),
+    }
+    if "canonical_depth_head" in sd:
+        params["canonical_depth"] = _t(sd["canonical_depth_head"])
+
+    def dconv(prefix):
+        p1, s1 = _bn(sd, f"{prefix}.double_conv.1")
+        p2, s2 = _bn(sd, f"{prefix}.double_conv.4")
+        return ({"conv1": _conv2d(sd, f"{prefix}.double_conv.0", bias=False),
+                 "bn1": p1,
+                 "conv2": _conv2d(sd, f"{prefix}.double_conv.3", bias=False),
+                 "bn2": p2},
+                {"bn1": s1, "bn2": s2})
+
+    unet_params, unet_state = {}, {}
+    unet_params["inc"], unet_state["inc"] = dconv("post_fusion_unet.inc")
+    unet_params["down1"], unet_state["down1"] = dconv(
+        "post_fusion_unet.down1.maxpool_conv.1")
+    unet_params["down2"], unet_state["down2"] = dconv(
+        "post_fusion_unet.down2.maxpool_conv.1")
+    unet_params["up1"], unet_state["up1"] = dconv("post_fusion_unet.up1.conv")
+    unet_params["up2"], unet_state["up2"] = dconv("post_fusion_unet.up2.conv")
+    unet_params["outc"] = _conv2d(sd, "post_fusion_unet.outc.conv")
+    return params, unet_params, unet_state
+
+
+# ---------------------------------------------------------------------------
+# SyncNet (reference syncnet.py state_dict names)
+# ---------------------------------------------------------------------------
+
+def convert_syncnet(sd):
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    from speech2lip_tpu.models.syncnet import AUDIO_SPEC, FACE_SPEC
+
+    def encoder(name, spec):
+        out = []
+        for i in range(len(spec)):
+            prefix = f"{name}.{i}.conv_block"
+            bn_p, bn_s = _bn(sd, prefix + ".1")
+            out.append(({"conv": _conv2d(sd, prefix + ".0"), "bn": bn_p},
+                        {"bn": bn_s}))
+        return [p for p, _ in out], [s for _, s in out]
+
+    fp, fs = encoder("face_encoder", FACE_SPEC)
+    ap, as_ = encoder("audio_encoder", AUDIO_SPEC)
+    return ({"face": fp, "audio": ap}, {"face": fs, "audio": as_})
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (torchvision alexnet features + lpips lin heads)
+# ---------------------------------------------------------------------------
+
+def convert_lpips(alexnet_sd, lin_sd):
+    conv_ids = [0, 3, 6, 8, 10]  # torchvision alexnet.features indices
+    convs = [_conv2d(alexnet_sd, f"features.{i}") for i in conv_ids]
+    lins = [{"w": _t(lin_sd[f"lin{i}.model.1.weight"])
+             .transpose(2, 3, 1, 0).copy()} for i in range(5)]
+    return {"convs": convs, "lins": lins}
+
+
+# ---------------------------------------------------------------------------
+# DeepSpeech 0.1.0 frozen graph
+# ---------------------------------------------------------------------------
+
+def convert_deepspeech(pb_path):
+    """Requires tensorflow (absent from the TPU image — run where TF exists,
+    ship the .ckpt).  Falls back to an .npz of named arrays."""
+    if pb_path.endswith(".npz"):
+        z = np.load(pb_path)
+        arrs = {k: z[k] for k in z.files}
+    else:
+        import tensorflow as tf  # noqa — optional dependency
+        gd = tf.compat.v1.GraphDef()
+        with open(pb_path, "rb") as f:
+            gd.ParseFromString(f.read())
+        arrs = {}
+        for node in gd.node:
+            if node.op == "Const":
+                t = node.attr["value"].tensor
+                arrs[node.name] = np.array(tf.make_ndarray(t))
+
+    def find(*names):
+        for n in names:
+            if n in arrs:
+                return arrs[n]
+        raise KeyError(f"none of {names} in graph constants: "
+                       f"{sorted(arrs)[:20]}...")
+
+    return {
+        "fc1": {"w": find("h1"), "b": find("b1")},
+        "fc2": {"w": find("h2"), "b": find("b2")},
+        "fc3": {"w": find("h3"), "b": find("b3")},
+        "lstm_fw": {
+            "kernel": find("bidirectional_rnn/fw/basic_lstm_cell/kernel",
+                           "bidirectional_rnn/fw/basic_lstm_cell/weights"),
+            "bias": find("bidirectional_rnn/fw/basic_lstm_cell/bias",
+                         "bidirectional_rnn/fw/basic_lstm_cell/biases")},
+        "lstm_bw": {
+            "kernel": find("bidirectional_rnn/bw/basic_lstm_cell/kernel",
+                           "bidirectional_rnn/bw/basic_lstm_cell/weights"),
+            "bias": find("bidirectional_rnn/bw/basic_lstm_cell/bias",
+                         "bidirectional_rnn/bw/basic_lstm_cell/biases")},
+        "fc5": {"w": find("h5"), "b": find("b5")},
+        "fc6": {"w": find("h6"), "b": find("b6")},
+    }
+
+
+def main():
+    import torch
+    from speech2lip_tpu.core import checkpoint as ckpt
+
+    kind = sys.argv[1]
+    if kind == "talking_face":
+        src, out_dir = sys.argv[2], sys.argv[3]
+        blob = torch.load(src, map_location="cpu")
+        sd = blob.get("model", blob)
+        tf_p, unet_p, unet_s = convert_talking_face(sd)
+        ckpt.save(f"{out_dir}/talking_face.ckpt", tf_p)
+        ckpt.save(f"{out_dir}/unet.ckpt", {"params": unet_p, "state": unet_s})
+    elif kind == "syncnet":
+        blob = torch.load(sys.argv[2], map_location="cpu")
+        tree = convert_syncnet(blob["state_dict"])
+        ckpt.save(sys.argv[3], tree)
+    elif kind == "lpips":
+        alex = torch.load(sys.argv[2], map_location="cpu")
+        lin = torch.load(sys.argv[3], map_location="cpu")
+        ckpt.save(sys.argv[4], convert_lpips(alex, lin))
+    elif kind == "deepspeech":
+        ckpt.save(sys.argv[3], convert_deepspeech(sys.argv[2]))
+    else:
+        raise SystemExit(f"unknown kind {kind}")
+    print("converted", kind)
+
+
+if __name__ == "__main__":
+    main()
