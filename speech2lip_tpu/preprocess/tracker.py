@@ -1,0 +1,376 @@
+"""3DMM face tracker: the 4-phase per-video fit, on XLA.
+
+TPU-native rebuild of the reference tracker (reference
+preprocess/face_tracker.py:213-533):
+  find_focal  — grid-search focal 600→1500 step 100, per-candidate landmark
+                fits (face_tracker.py:213-281);
+  phase a     — pose-only landmark fit, all frames jointly (:327-346);
+  phase b     — + id/exp with L2 regularizers (:349-374);
+  phase c     — + photometric fit on ``batch_size`` key frames through the
+                differentiable renderer (:377-436);
+  phase d     — sliding-window refinement with a temporal Laplacian loss on
+                rigid vertices (:441-530).
+
+Each phase is a jitted ``lax.fori_loop`` of optax-Adam steps — the Python
+per-iteration loop of the reference becomes one compiled program per phase.
+Learning-rate drops at fixed iterations use optax schedules.  The
+pytorch3d renderer is replaced by ops/rasterize + fixed-visibility
+differentiable shading (re-rasterized every iteration).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from speech2lip_tpu.ops.rasterize import rasterize, recompute_barycentrics
+from speech2lip_tpu.preprocess import face_3dmm as bfm
+
+
+def cal_lan_loss(proj_lan, gt_lan):
+    """Mean-squared landmark error (face_tracking/util.py:91-92)."""
+    return jnp.mean((proj_lan - gt_lan) ** 2)
+
+
+def cal_col_loss(pred_img, gt_img, mask):
+    """Masked per-pixel color distance (util.py:94-99): mean over frames of
+    sum(|pred-gt|_2 * mask)/255 / sum(mask)."""
+    # +eps: d(sqrt)/dx at exactly-matching pixels would be NaN under autodiff
+    dist = (jnp.sqrt(jnp.sum((pred_img - gt_img) ** 2, axis=3) + 1e-12)
+            * mask / 255.0)
+    return jnp.mean(jnp.sum(dist, axis=(1, 2))
+                    / jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1e-6))
+
+
+def cal_lap_loss(x):
+    """Temporal Laplacian smoothness: conv [-0.5, 1, -0.5] over the last
+    axis, mean square (util.py:53-63).  x: [..., T]."""
+    lap = x[..., 1:-1] - 0.5 * x[..., :-2] - 0.5 * x[..., 2:]
+    return jnp.mean(lap ** 2)
+
+
+def _adam_loop(loss_fn, params: Dict[str, jnp.ndarray], lr_schedules,
+               n_iters: int, static_args=()):
+    """Run ``n_iters`` Adam steps of ``loss_fn(params)`` under one jit.
+
+    lr_schedules: {name: optax schedule or float} — one Adam per param with
+    its own LR (the reference uses separate optimizers per group)."""
+    opts = {k: optax.adam(lr_schedules.get(k, 1e-2)) for k in params}
+    opt_states = {k: opts[k].init(params[k]) for k in params}
+
+    def body(_, carry):
+        p, s = carry
+        grads = jax.grad(lambda q: loss_fn(q, *static_args))(p)
+        new_p, new_s = {}, {}
+        for k in p:
+            upd, new_s[k] = opts[k].update(grads[k], s[k], p[k])
+            new_p[k] = optax.apply_updates(p[k], upd)
+        return new_p, new_s
+
+    run = jax.jit(lambda p, s: jax.lax.fori_loop(0, n_iters, body, (p, s)))
+    final_p, _ = run(params, opt_states)
+    return final_p
+
+
+@dataclass
+class TrackerConfig:
+    id_dim: int = 100
+    exp_dim: int = 79
+    tex_dim: int = 100
+    img_h: int = 500
+    img_w: int = 500
+    batch_size: int = 50
+    # iteration budgets (reference values; lower for tests)
+    iters_focal_pose: int = 2000
+    iters_focal_idexp: int = 2500
+    iters_pose: int = 1500
+    iters_idexp: int = 2000
+    iters_photo: int = 71
+    iters_window: int = 50
+    raster_kwargs: Dict[str, Any] = field(default_factory=dict)
+
+
+class FaceTracker:
+    def __init__(self, assets: bfm.BFMAssets, lms: np.ndarray,
+                 cfg: TrackerConfig):
+        """lms: [N, 68, 2] detected 2-D landmarks."""
+        self.assets = assets
+        self.lms = jnp.asarray(lms, jnp.float32)
+        self.cfg = cfg
+        self.cxy = (cfg.img_w / 2.0, cfg.img_h / 2.0)
+
+    # ------------------------------------------------------------------
+    def _landmark_loss(self, p, lms, focal):
+        idb = jnp.broadcast_to(p["id"], (p["exp"].shape[0], p["id"].shape[1]))
+        geo = bfm.get_3dlandmarks(self.assets, idb, p["exp"], p["euler"],
+                                  p["trans"], focal, self.cxy)
+        proj = bfm.forward_transform(geo, p["euler"], p["trans"], focal,
+                                     self.cxy)
+        return cal_lan_loss(proj[:, :, :2], lms)
+
+    def find_focal(self, step: int = 100, lo: int = 600, hi: int = 1500,
+                   frame_stride: int = 40) -> float:
+        """Grid-search the focal length (face_tracker.py:213-281)."""
+        c = self.cfg
+        sel = np.arange(0, self.lms.shape[0], frame_stride)
+        lms = self.lms[sel]
+        n = len(sel)
+        best_focal, best_loss = hi, np.inf
+        for focal in range(lo, hi, step):
+            p = {"id": jnp.zeros((1, c.id_dim)),
+                 "exp": jnp.zeros((n, c.exp_dim)),
+                 "euler": jnp.zeros((n, 3)),
+                 "trans": jnp.zeros((n, 3)).at[:, 2].add(-7.0)}
+            # pose-only
+            pose = {k: p[k] for k in ("euler", "trans")}
+            loss_pose = lambda q, lms_, f_: self._landmark_loss(
+                {**p, **q}, lms_, f_)
+            pose = _adam_loop(loss_pose, pose, {"euler": 0.1, "trans": 0.1},
+                              c.iters_focal_pose, (lms, float(focal)))
+            p.update(pose)
+            # + id/exp with reg, lr ×0.2 at 1500
+            sched = optax.piecewise_constant_schedule(0.1, {1500: 0.2})
+
+            def loss_all(q, lms_, f_):
+                return (self._landmark_loss(q, lms_, f_)
+                        + 0.5 * jnp.mean(q["id"] ** 2)
+                        + 0.4 * jnp.mean(q["exp"] ** 2))
+
+            p = _adam_loop(loss_all, p, {k: sched for k in p},
+                           c.iters_focal_idexp, (lms, float(focal)))
+            final = float(self._landmark_loss(p, lms, float(focal)))
+            if final < best_loss:
+                best_loss, best_focal = final, focal
+        return float(best_focal)
+
+    # ------------------------------------------------------------------
+    def fit(self, focal: float, images: Optional[np.ndarray] = None,
+            progress: bool = False) -> Dict[str, np.ndarray]:
+        """Phases a–d. ``images``: [N, H, W, 3] uint8/float RGB frames for
+        the photometric phases (None → landmark-only fit)."""
+        c = self.cfg
+        n = self.lms.shape[0]
+        p = {"id": jnp.zeros((1, c.id_dim)),
+             "exp": jnp.zeros((n, c.exp_dim)),
+             "euler": jnp.zeros((n, 3)),
+             "trans": jnp.zeros((n, 3)).at[:, 2].add(-7.0)}
+        tex = jnp.zeros((1, c.tex_dim))
+        light = jnp.zeros((n, 27))
+
+        # phase a: pose only, lr 1 → 0.1 at iter 1000 (face_tracker.py:341)
+        sched_a = optax.piecewise_constant_schedule(1.0, {1000: 0.1})
+        pose = {k: p[k] for k in ("euler", "trans")}
+        loss_a = lambda q, lms_, f_: self._landmark_loss({**p, **q}, lms_, f_)
+        pose = _adam_loop(loss_a, pose, {"euler": sched_a, "trans": sched_a},
+                          c.iters_pose, (self.lms, focal))
+        p.update(pose)
+
+        # phase b: + id/exp + reg, lr 0.1 ×0.2 at 1000 (:349-374)
+        sched_b = optax.piecewise_constant_schedule(0.1, {1000: 0.2})
+
+        def loss_b(q, lms_, f_):
+            return (self._landmark_loss(q, lms_, f_)
+                    + 0.5 * jnp.mean(q["id"] ** 2)
+                    + 0.4 * jnp.mean(q["exp"] ** 2))
+
+        p = _adam_loop(loss_b, p, {k: sched_b for k in p},
+                       c.iters_idexp, (self.lms, focal))
+
+        if images is None:
+            return self._pack(p, tex, light, focal)
+
+        images = jnp.asarray(images, jnp.float32)
+
+        # phase c: photometric fit on key frames (:377-436)
+        bs = min(c.batch_size, n)
+        sel = np.arange(0, n, max(1, n // bs))[:bs]
+        sel_imgs = images[sel]
+        sel_lms = self.lms[sel]
+
+        photo = {"id": p["id"], "exp_sel": p["exp"][sel],
+                 "euler_sel": p["euler"][sel], "trans_sel": p["trans"][sel],
+                 "tex": tex, "light": jnp.zeros((bs, 27))}
+
+        def render_photo(q):
+            idb = jnp.broadcast_to(q["id"], (bs, c.id_dim))
+            texb = jnp.broadcast_to(
+                bfm.forward_tex(self.assets, q["tex"]), (bs,
+                                                         self.assets.point_num,
+                                                         3))
+            geo = bfm.forward_geo(self.assets, idb, q["exp_sel"])
+            rott = bfm.rot_trans_pts(geo, bfm.euler2rot(q["euler_sel"]),
+                                     q["trans_sel"])
+            normals = bfm.vertex_normals(rott, self.assets.tris,
+                                         self.assets.vert_tris)
+            colors = bfm.sh_illumination(texb, normals, q["light"])
+            pix = bfm.proj_pts(rott, focal, self.cxy)
+            pix = pix.at[:, :, 2].multiply(-1.0)  # camera looks down -z
+
+            def shade(pix_b, col_b):
+                frag = rasterize(jax.lax.stop_gradient(pix_b),
+                                 self.assets.tris, c.img_h, c.img_w,
+                                 **c.raster_kwargs)
+                bary = recompute_barycentrics(frag.pix_to_face, pix_b,
+                                              self.assets.tris)
+                face = jnp.maximum(frag.pix_to_face, 0)
+                vals = jnp.sum(
+                    bary[..., None] * col_b[self.assets.tris[face]], axis=2)
+                hit = (frag.pix_to_face >= 0)
+                img = jnp.where(hit[..., None], jnp.clip(vals, 0, 255), 0.0)
+                return img, hit
+
+            return jax.vmap(shade)(pix, colors)
+
+        def loss_c(q, step_weights):
+            w_lan, w_id, w_exp = step_weights
+            idb = jnp.broadcast_to(q["id"], (bs, c.id_dim))
+            geo = bfm.get_3dlandmarks(self.assets, idb, q["exp_sel"],
+                                      q["euler_sel"], q["trans_sel"], focal,
+                                      self.cxy)
+            proj = bfm.forward_transform(geo, q["euler_sel"], q["trans_sel"],
+                                         focal, self.cxy)
+            loss_lan = cal_lan_loss(proj[:, :, :2], sel_lms)
+            render, hit = render_photo(q)
+            loss_col = cal_col_loss(render, sel_imgs,
+                                    jax.lax.stop_gradient(hit).astype(jnp.float32))
+            return (loss_col + loss_lan * w_lan
+                    + w_id * jnp.mean(q["id"] ** 2)
+                    + w_exp * jnp.mean(q["exp_sel"] ** 2))
+
+        # two weight regimes (iter ≤/> 50) + lr ×0.2 at 5 and 55 (:425-435)
+        lr_tl = optax.piecewise_constant_schedule(0.1, {5: 0.2, 55: 0.2})
+        lr_if = optax.piecewise_constant_schedule(0.01, {5: 0.2, 55: 0.2})
+        lrs = {"tex": lr_tl, "light": lr_tl, "id": lr_if, "exp_sel": lr_if,
+               "euler_sel": lr_if, "trans_sel": lr_if}
+        n1 = min(51, c.iters_photo)
+        photo = _adam_loop(loss_c, photo, lrs, n1, ((3.0, 2.0, 1.0),))
+        if c.iters_photo > 51:
+            photo = _adam_loop(loss_c, photo, lrs, c.iters_photo - 51,
+                               ((0.05, 1.0, 0.8),))
+
+        p["id"] = photo["id"]
+        tex = photo["tex"]
+        p["exp"] = p["exp"].at[sel].set(photo["exp_sel"])
+        p["euler"] = p["euler"].at[sel].set(photo["euler_sel"])
+        p["trans"] = p["trans"].at[sel].set(photo["trans_sel"])
+        light = jnp.broadcast_to(jnp.mean(photo["light"], 0), (n, 27))
+
+        # phase d: sliding-window refinement with temporal Laplacian (:441-530)
+        p, light = self._phase_d(p, tex, light, images, focal)
+        return self._pack(p, tex, light, focal)
+
+    def _phase_d(self, p, tex, light, images, focal):
+        c = self.cfg
+        n = self.lms.shape[0]
+        bs = min(c.batch_size, n)
+        pre = 5
+        rigid = self.assets.keyinds  # proxy for rigid_ids in synthetic assets
+        if hasattr(self.assets, "rigid_ids"):
+            rigid = self.assets.rigid_ids
+
+        exp, euler, trans = p["exp"], p["euler"], p["trans"]
+        light = jnp.asarray(light)
+        id_para = p["id"]
+        texv = bfm.forward_tex(self.assets, tex)
+
+        for i in range(int((n - 1) / bs + 1)):
+            start = n - bs if (i + 1) * bs > n else i * bs
+            sel = np.arange(start, start + bs)
+            sel_imgs = images[sel]
+            sel_lms = self.lms[sel]
+            has_pre = i > 0
+            pre_ids = np.arange(max(0, start - pre), start) if has_pre else None
+
+            q = {"exp": exp[sel], "euler": euler[sel], "trans": trans[sel],
+                 "light": light[sel]}
+            idb = jnp.broadcast_to(id_para, (bs, c.id_dim))
+            texb = jnp.broadcast_to(texv, (bs, self.assets.point_num, 3))
+
+            pre_exp = exp[pre_ids] if has_pre else None
+            pre_euler = euler[pre_ids] if has_pre else None
+            pre_trans = trans[pre_ids] if has_pre else None
+
+            def loss_d(q, weights):
+                w_lan, = weights
+                geo_l = bfm.get_3dlandmarks(self.assets, idb, q["exp"],
+                                            q["euler"], q["trans"], focal,
+                                            self.cxy)
+                proj = bfm.forward_transform(geo_l, q["euler"], q["trans"],
+                                             focal, self.cxy)
+                loss_lan = cal_lan_loss(proj[:, :, :2], sel_lms)
+                loss_regexp = jnp.mean(q["exp"] ** 2)
+
+                geo = bfm.forward_geo(self.assets, idb, q["exp"])
+                rott = bfm.rot_trans_pts(geo, bfm.euler2rot(q["euler"]),
+                                         q["trans"])
+                normals = bfm.vertex_normals(rott, self.assets.tris,
+                                             self.assets.vert_tris)
+                colors = bfm.sh_illumination(texb, normals, q["light"])
+                pix = bfm.proj_pts(rott, focal, self.cxy)
+                pix = pix.at[:, :, 2].multiply(-1.0)
+
+                def shade(pix_b, col_b):
+                    frag = rasterize(jax.lax.stop_gradient(pix_b),
+                                     self.assets.tris, c.img_h, c.img_w,
+                                     **c.raster_kwargs)
+                    bary = recompute_barycentrics(frag.pix_to_face, pix_b,
+                                                  self.assets.tris)
+                    face = jnp.maximum(frag.pix_to_face, 0)
+                    vals = jnp.sum(bary[..., None]
+                                   * col_b[self.assets.tris[face]], axis=2)
+                    hit = frag.pix_to_face >= 0
+                    return (jnp.where(hit[..., None],
+                                      jnp.clip(vals, 0, 255), 0.0), hit)
+
+                render, hit = jax.vmap(shade)(pix, colors)
+                loss_col = cal_col_loss(
+                    render, sel_imgs,
+                    jax.lax.stop_gradient(hit).astype(jnp.float32))
+
+                if has_pre:
+                    all_exp = jnp.concatenate([pre_exp, q["exp"]])
+                    all_euler = jnp.concatenate([pre_euler, q["euler"]])
+                    all_trans = jnp.concatenate([pre_trans, q["trans"]])
+                else:
+                    all_exp, all_euler, all_trans = (q["exp"], q["euler"],
+                                                     q["trans"])
+                nb = all_exp.shape[0]
+                geo_r = bfm.forward_geo_sub(
+                    self.assets, jnp.broadcast_to(id_para, (nb, c.id_dim)),
+                    all_exp, rigid)
+                rott_r = bfm.rot_trans_pts(
+                    geo_r, bfm.euler2rot(all_euler), all_trans)
+                loss_lap = cal_lap_loss(
+                    rott_r.reshape(nb, -1).T)  # [3V', T]
+
+                return (0.5 * loss_col + w_lan * loss_lan
+                        + 1e5 * loss_lap + loss_regexp)
+
+            n1 = min(31, c.iters_window)
+            q = _adam_loop(loss_d, q, {k: 0.005 for k in q}, n1, ((8.0,),))
+            if c.iters_window > 31:
+                q = _adam_loop(loss_d, q, {k: 0.005 for k in q},
+                               c.iters_window - 31, ((1.5,),))
+
+            exp = exp.at[sel].set(q["exp"])
+            euler = euler.at[sel].set(q["euler"])
+            trans = trans.at[sel].set(q["trans"])
+            light = light.at[sel].set(q["light"])
+
+        p = dict(p, exp=exp, euler=euler, trans=trans)
+        return p, light
+
+    @staticmethod
+    def _pack(p, tex, light, focal) -> Dict[str, np.ndarray]:
+        """track_params.pt schema (face_tracker.py:528-531 + light)."""
+        return {"id": np.asarray(p["id"]), "exp": np.asarray(p["exp"]),
+                "euler": np.asarray(p["euler"]),
+                "trans": np.asarray(p["trans"]),
+                "focal": np.float32(focal), "tex": np.asarray(tex),
+                "light": np.asarray(light)}

@@ -1,0 +1,143 @@
+"""Tracker + preprocessing-step tests on synthetic BFM assets: the fit must
+recover poses of synthetically generated landmarks, and the pipeline steps
+must produce contract-shaped artifacts."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech2lip_tpu.preprocess import face_3dmm as bfm
+from speech2lip_tpu.preprocess import steps
+from speech2lip_tpu.preprocess.tracker import (FaceTracker, TrackerConfig,
+                                               cal_lap_loss)
+
+H = W = 64
+FOCAL = 80.0
+RK = dict(tile=16, max_faces_per_tile=128, chunk=4)
+
+
+@pytest.fixture(scope="module")
+def world():
+    assets = bfm.synthetic_assets(n_verts=150, id_dim=6, exp_dim=4, tex_dim=6,
+                                  seed=1)
+    rng = np.random.default_rng(2)
+    n = 6
+    true_euler = 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+    true_trans = np.tile(np.array([[0, 0, -7.0]], np.float32), (n, 1))
+    true_trans[:, :2] += 0.05 * rng.standard_normal((n, 2))
+    true_exp = 0.1 * rng.standard_normal((n, 4)).astype(np.float32)
+    id_p = jnp.zeros((1, 6))
+    geo = bfm.get_3dlandmarks(assets, jnp.broadcast_to(id_p, (n, 6)),
+                              jnp.asarray(true_exp), jnp.asarray(true_euler),
+                              jnp.asarray(true_trans), FOCAL, (W / 2, H / 2))
+    lms = np.asarray(bfm.forward_transform(
+        geo, jnp.asarray(true_euler), jnp.asarray(true_trans), FOCAL,
+        (W / 2, H / 2))[:, :, :2])
+    track = {"id": np.zeros((1, 6), np.float32), "exp": true_exp,
+             "euler": true_euler, "trans": true_trans,
+             "focal": np.float32(FOCAL)}
+    return assets, lms, track
+
+
+def test_lap_loss_zero_for_linear_sequence():
+    x = jnp.arange(10.0)[None, :].repeat(3, 0)
+    assert float(cal_lap_loss(x)) < 1e-10
+
+
+def test_tracker_landmark_fit_reduces_loss(world):
+    assets, lms, _ = world
+    cfg = TrackerConfig(id_dim=6, exp_dim=4, tex_dim=6, img_h=H, img_w=W,
+                        batch_size=3, iters_pose=300, iters_idexp=200,
+                        raster_kwargs=RK)
+    tr = FaceTracker(assets, lms, cfg)
+    p0 = {"id": jnp.zeros((1, 6)), "exp": jnp.zeros((lms.shape[0], 4)),
+          "euler": jnp.zeros((lms.shape[0], 3)),
+          "trans": jnp.zeros((lms.shape[0], 3)).at[:, 2].add(-7.0)}
+    loss0 = float(tr._landmark_loss(p0, tr.lms, FOCAL))
+    out = tr.fit(FOCAL, images=None)
+    p1 = {k: jnp.asarray(out[k]) for k in ("id", "exp", "euler", "trans")}
+    loss1 = float(tr._landmark_loss(p1, tr.lms, FOCAL))
+    assert loss1 < loss0 * 0.2, (loss0, loss1)
+
+
+@pytest.mark.slow
+def test_tracker_photometric_phases_run(world):
+    assets, lms, track = world
+    # synthetic target images rendered from the true parameters
+    n = lms.shape[0]
+    geo = bfm.forward_geo(assets, jnp.broadcast_to(jnp.zeros((1, 6)), (n, 6)),
+                          jnp.asarray(track["exp"]))
+    rott = bfm.rot_trans_pts(geo, bfm.euler2rot(jnp.asarray(track["euler"])),
+                             jnp.asarray(track["trans"]))
+    tex = bfm.forward_tex(assets, jnp.zeros((1, 6)))
+    imgs, _ = bfm.render_mesh(
+        assets, rott.at[:, :, 2].multiply(-1.0) if False else rott,
+        jnp.broadcast_to(tex, (n, assets.point_num, 3)),
+        jnp.zeros((n, 27)), FOCAL, H, W, **RK)
+    cfg = TrackerConfig(id_dim=6, exp_dim=4, tex_dim=6, img_h=H, img_w=W,
+                        batch_size=3, iters_pose=100, iters_idexp=80,
+                        iters_photo=6, iters_window=4, raster_kwargs=RK)
+    tr = FaceTracker(assets, lms, cfg)
+    out = tr.fit(FOCAL, images=np.asarray(imgs))
+    for key, shape in [("id", (1, 6)), ("exp", (n, 4)), ("euler", (n, 3)),
+                       ("trans", (n, 3)), ("light", (n, 27))]:
+        assert out[key].shape == shape
+        assert np.isfinite(out[key]).all()
+
+
+def test_find_focal_small_grid(world):
+    assets, lms, _ = world
+    cfg = TrackerConfig(id_dim=6, exp_dim=4, tex_dim=6, img_h=H, img_w=W,
+                        iters_focal_pose=150, iters_focal_idexp=100,
+                        raster_kwargs=RK)
+    tr = FaceTracker(assets, lms, cfg)
+    best = tr.find_focal(lo=40, hi=161, step=40, frame_stride=2)
+    assert best in (40, 80, 120, 160)
+    # the generating focal (80) should win a coarse grid
+    assert abs(best - FOCAL) <= 40
+
+
+def test_steps_artifact_contract(world):
+    assets, lms, track = world
+    n = lms.shape[0]
+    rng = np.random.default_rng(3)
+    # smooth frames: the warp grid carries the reference's align_corners
+    # mismatch (sub-pixel shift), which white noise would amplify unfairly
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    base = np.stack([np.sin(xx / 7.0) * 100 + 120,
+                     np.cos(yy / 9.0) * 100 + 120,
+                     ((xx + yy) / (H + W)) * 255], -1).astype(np.float32)
+    frames = np.stack([base + 10 * i for i in range(n)])
+
+    depth = steps.mesh_depth(assets, jnp.asarray(track["id"]),
+                             jnp.asarray(track["exp"][:1]),
+                             jnp.asarray(track["euler"][:1]),
+                             jnp.asarray(track["trans"][:1]),
+                             FOCAL, H, W, **RK)
+    assert depth.shape == (1, H, W)
+    d = np.asarray(depth[0])
+    assert (d > 0).any() and (d == 0).any()
+    assert (d[d > 0] > 5.0).all()  # blob sits ~7 units from the camera
+
+    warped = steps.warp_images(track, assets, frames, 0, H, W, **RK)
+    assert warped.shape == (n, H, W, 3)
+    # canonical frame warps onto itself inside the face mask
+    mask = d > 0
+    err = np.abs(warped[0][mask] - frames[0][mask])
+    assert np.median(err) < 1.0
+
+    coords = steps.compute_uv_mapping(track, assets, 0, H, W, **RK)
+    assert coords.shape == (n, H, W, 2)
+    assert coords.min() >= -1.0 and coords.max() <= 1.0
+
+    cdepth, fmask, hmask = steps.canonical_masks(track, assets, 0, H, W, **RK)
+    assert cdepth.shape == (H, W) and fmask.dtype == bool and hmask is None
+
+    crops, lip_mask, (x, y) = steps.crop_lip(warped, np.asarray(
+        np.concatenate([rng.uniform(0, W, (48, 2)),
+                        rng.uniform(20, 40, (20, 2))], 0), np.float32),
+        dst_w=16, dst_h=12)
+    assert crops.shape == (n, 12, 16, 3)
+    assert lip_mask.shape == (H, W) and lip_mask.max() == 255
