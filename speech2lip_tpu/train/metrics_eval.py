@@ -1,0 +1,174 @@
+"""Offline evaluation metrics: PSNR, SSIM, CPBD, LMD, Sync score.
+
+The reference names these as its evaluation protocol without shipping
+implementations (reference README.md:101; ad-hoc psnr in inference.py:33-39).
+This module provides the full harness so the BASELINE parity numbers can be
+produced inside the framework.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def psnr(original: np.ndarray, contrast: np.ndarray,
+         pixel_max: float = 255.0) -> float:
+    """PSNR on [0, 255] images (reference inference.py:33-39)."""
+    mse = np.mean((original.astype(np.float64)
+                   - contrast.astype(np.float64)) ** 2)
+    if mse == 0:
+        return 100.0
+    return 20 * np.log10(pixel_max / np.sqrt(mse))
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    ax = np.arange(size) - size // 2
+    k = np.exp(-(ax ** 2) / (2 * sigma ** 2))
+    k2 = np.outer(k, k)
+    return k2 / k2.sum()
+
+
+def ssim(img1: np.ndarray, img2: np.ndarray, data_range: float = 255.0,
+         k1: float = 0.01, k2: float = 0.02) -> float:
+    """Mean SSIM, gaussian 11×1.5 windows (Wang et al. 2004 constants).
+
+    Grayscale or per-channel-averaged on [H, W(, C)] arrays.
+    """
+    from scipy.signal import fftconvolve
+    img1 = img1.astype(np.float64)
+    img2 = img2.astype(np.float64)
+    if img1.ndim == 3:
+        return float(np.mean([ssim(img1[..., c], img2[..., c], data_range)
+                              for c in range(img1.shape[-1])]))
+    kern = _gaussian_kernel()
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+
+    mu1 = fftconvolve(img1, kern, mode="valid")
+    mu2 = fftconvolve(img2, kern, mode="valid")
+    mu1_sq, mu2_sq, mu12 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    s1 = fftconvolve(img1 ** 2, kern, mode="valid") - mu1_sq
+    s2 = fftconvolve(img2 ** 2, kern, mode="valid") - mu2_sq
+    s12 = fftconvolve(img1 * img2, kern, mode="valid") - mu12
+    ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2) / ((mu1_sq + mu2_sq + c1)
+                                                    * (s1 + s2 + c2)))
+    return float(ssim_map.mean())
+
+
+def cpbd(image: np.ndarray, threshold: float = 0.002) -> float:
+    """Cumulative Probability of Blur Detection (Narvekar & Karam 2009).
+
+    Sharpness in [0, 1], higher = sharper.  image: [H, W] grayscale or
+    [H, W, 3] (converted by BT.601).  Standard parameters: 64×64 blocks,
+    Sobel vertical edges, JNB widths, beta=3.6.
+    """
+    if image.ndim == 3:
+        image = (0.299 * image[..., 0] + 0.587 * image[..., 1]
+                 + 0.114 * image[..., 2])
+    image = image.astype(np.float64)
+    h, w = image.shape
+    block = 64
+    beta = 3.6
+
+    # Sobel vertical edge detection
+    gx = np.zeros_like(image)
+    gx[:, 1:-1] = (image[:, 2:] - image[:, :-2]) / 2
+    gy = np.zeros_like(image)
+    gy[1:-1, :] = (image[2:, :] - image[:-2, :]) / 2
+    mag = np.hypot(gx, gy)
+    edge = mag > (0.1 * mag.max() + 1e-12)
+
+    # edge width: distance between local extrema around the edge pixel, per row
+    widths = _edge_widths(image, edge)
+
+    # per-block probability of blur
+    probs = []
+    for by in range(0, h - block + 1, block):
+        for bx in range(0, w - block + 1, block):
+            wblk = widths[by:by + block, bx:bx + block]
+            wvals = wblk[wblk > 0]
+            if wvals.size < 0.002 * block * block:
+                continue  # not an edge block
+            contrast = (image[by:by + block, bx:bx + block].max()
+                        - image[by:by + block, bx:bx + block].min())
+            w_jnb = 5.0 if contrast <= 50 else 3.0
+            probs.append(1 - np.exp(-np.abs(wvals / w_jnb) ** beta))
+    if not probs:
+        return 0.0
+    pblur = np.concatenate(probs)
+    # CPBD = P(P_blur <= threshold 0.63)
+    return float(np.mean(pblur <= 0.63))
+
+
+def _edge_widths(image: np.ndarray, edge: np.ndarray,
+                 max_width: int = 16) -> np.ndarray:
+    """Horizontal edge width per edge pixel: pixels to local extrema on each
+    side along the row (JNB edge-width definition)."""
+    h, w = image.shape
+    widths = np.zeros((h, w))
+    ys, xs = np.nonzero(edge)
+    for y, x in zip(ys, xs):
+        row = image[y]
+        lo = x
+        while lo > 0 and x - lo < max_width and (
+                (row[lo - 1] - row[lo]) * (row[x] - row[min(x + 1, w - 1)]) >= 0
+                and abs(row[lo - 1] - row[lo]) > 1e-9):
+            if (row[lo - 1] - row[lo]) * (row[lo] - row[min(lo + 1, w - 1)]) < 0:
+                break
+            lo -= 1
+        hi = x
+        while hi < w - 1 and hi - x < max_width and (
+                abs(row[hi + 1] - row[hi]) > 1e-9):
+            if (row[hi + 1] - row[hi]) * (row[hi] - row[hi - 1]) < 0 and hi > x:
+                break
+            hi += 1
+        widths[y, x] = hi - lo
+    return widths
+
+
+def lmd(lms_pred: np.ndarray, lms_gt: np.ndarray,
+        mouth_only: bool = True) -> float:
+    """Landmark Distance: mean L2 between (mouth) landmarks of generated vs
+    ground-truth frames.  lms_*: [N, 68, 2]."""
+    if mouth_only:
+        lms_pred = lms_pred[:, 48:, :]
+        lms_gt = lms_gt[:, 48:, :]
+    return float(np.mean(np.linalg.norm(lms_pred - lms_gt, axis=-1)))
+
+
+def sync_confidence(sync_params, sync_state, mels: np.ndarray,
+                    frame_windows: np.ndarray,
+                    max_offset: int = 15) -> tuple[float, int]:
+    """SyncNet-style AV confidence: median over time of (max cosine over
+    audio offsets − mean cosine), and the argmax offset.
+
+    mels: [T, 80, 16]; frame_windows: [T, 48, 96, 15] (syncnet face input,
+    see train/losses.sync_window_to_syncnet_input).
+    """
+    import jax
+    import jax.numpy as jnp
+    from speech2lip_tpu.models import syncnet as syncnet_mod
+
+    @jax.jit
+    def embed(mel, faces):
+        a, v, _ = syncnet_mod.apply(sync_params, sync_state, mel, faces)
+        return a, v
+
+    a_emb, v_emb = embed(jnp.asarray(mels)[..., None],
+                         jnp.asarray(frame_windows))
+    a_emb, v_emb = np.asarray(a_emb), np.asarray(v_emb)
+    t = len(a_emb)
+    dists = []
+    for off in range(-max_offset, max_offset + 1):
+        lo, hi = max(0, -off), min(t, t - off)
+        if hi - lo < 1:
+            dists.append(np.zeros(0))
+            continue
+        cos = np.sum(v_emb[lo:hi] * a_emb[lo + off:hi + off], axis=1)
+        dists.append(cos)
+    means = np.array([d.mean() if d.size else -1.0 for d in dists])
+    best = int(np.argmax(means))
+    conf = float(means[best] - means.mean())
+    return conf, best - max_offset

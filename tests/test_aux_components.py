@@ -1,0 +1,155 @@
+"""Tests for auxiliary components: forward splat, flow viz, eval metrics,
+BiSeNet parser."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech2lip_tpu.ops.flowviz import extract_flow, flow_to_image
+from speech2lip_tpu.ops.splat import forward_splat_nearest, splat_depth
+from speech2lip_tpu.train import metrics_eval as me
+
+
+def test_forward_splat_identity(rng):
+    src = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+    flow = np.zeros((1, 8, 8, 2), np.float32)
+    out = np.asarray(forward_splat_nearest(jnp.asarray(src), jnp.asarray(flow)))
+    np.testing.assert_allclose(out, src, atol=1e-6)
+
+
+def test_forward_splat_shift_and_zmin(rng):
+    src = np.zeros((1, 4, 4, 1), np.float32)
+    src[0, 0, 0, 0] = 5.0
+    src[0, 0, 1, 0] = 7.0
+    flow = np.zeros((1, 4, 4, 2), np.float32)
+    flow[0, 0, 0, 0] = 2.0   # pixel (0,0) -> (0,2)
+    flow[0, 0, 1, 0] = 1.0   # pixel (0,1) -> (0,2): collision
+    z = np.ones((1, 4, 4), np.float32)
+    z[0, 0, 1] = 0.5         # nearer — must win
+    out = np.asarray(forward_splat_nearest(jnp.asarray(src), jnp.asarray(flow),
+                                           jnp.asarray(z)))
+    assert out[0, 0, 2, 0] == 7.0
+    assert out[0, 0, 0, 0] == 0.0  # vacated
+
+
+def test_splat_depth_min(rng):
+    pts = jnp.asarray([[2.0, 3.0], [2.2, 3.1], [0.0, 0.0]])
+    z = jnp.asarray([2.0, 1.0, 5.0])
+    d = np.asarray(splat_depth(pts, z, 6, 6))
+    assert d[3, 2] == 1.0  # min-z wins at the shared pixel
+    assert d[0, 0] == 5.0
+    assert d[5, 5] == 0.0
+
+
+def test_flow_to_image_properties(rng):
+    flow = rng.standard_normal((16, 16, 2)).astype(np.float32) * 3
+    img = flow_to_image(flow)
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    # zero flow is (near) white in the Middlebury wheel
+    img0 = flow_to_image(np.zeros((4, 4, 2), np.float32))
+    assert (img0 > 240).all()
+
+
+def test_extract_flow_identity_grid():
+    h = w = 8
+    ys, xs = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w),
+                         indexing="ij")
+    grid = np.stack([xs, ys], -1)[None].astype(np.float32)
+    flow = extract_flow(grid)
+    np.testing.assert_allclose(flow, 0, atol=1e-5)
+
+
+def test_psnr_ssim_basics(rng):
+    img = rng.uniform(0, 255, (64, 64, 3))
+    assert me.psnr(img, img) == 100.0
+    assert me.ssim(img, img) > 0.999
+    noisy = img + rng.standard_normal(img.shape) * 20
+    assert me.psnr(img, noisy) < 30
+    assert me.ssim(img, noisy) < me.ssim(img, img)
+
+
+def test_cpbd_sharp_vs_blurred(rng):
+    import cv2
+    # checkerboard: sharp
+    sharp = (np.indices((128, 128)).sum(0) % 16 < 8).astype(np.float64) * 255
+    blurred = cv2.GaussianBlur(sharp, (15, 15), 5.0)
+    assert me.cpbd(sharp) > me.cpbd(blurred)
+
+
+def test_lmd(rng):
+    a = rng.uniform(0, 100, (5, 68, 2))
+    assert me.lmd(a, a) == 0.0
+    assert me.lmd(a, a + 2.0) == pytest.approx(np.sqrt(8), rel=1e-6)
+
+
+def test_sync_confidence_runs(rng):
+    from speech2lip_tpu.models import syncnet as syncnet_mod
+    p, s = syncnet_mod.init(jax.random.PRNGKey(0))
+    t = 8
+    mels = rng.standard_normal((t, 80, 16)).astype(np.float32)
+    faces = rng.uniform(0, 1, (t, 48, 96, 15)).astype(np.float32)
+    conf, offset = me.sync_confidence(p, s, mels, faces, max_offset=3)
+    assert np.isfinite(conf) and -3 <= offset <= 3
+
+
+def test_bisenet_forward_shapes(rng):
+    from speech2lip_tpu.models import bisenet
+    params, state = bisenet.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    out = bisenet.apply(params, state, x)
+    assert out.shape == (1, 64, 64, 19)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bisenet_converter_roundtrip(rng):
+    """Fake reference-named state dict → converter → forward runs."""
+    import torch
+    from tools.convert_weights import convert_bisenet
+    from speech2lip_tpu.models import bisenet
+
+    sd = {}
+
+    def add_conv(name, cout, cin, k, bias=False):
+        sd[name + ".weight"] = torch.randn(cout, cin, k, k) * 0.05
+        if bias:
+            sd[name + ".bias"] = torch.randn(cout)
+
+    def add_bn(name, c):
+        sd[name + ".weight"] = torch.rand(c) + 0.5
+        sd[name + ".bias"] = torch.randn(c) * 0.05
+        sd[name + ".running_mean"] = torch.randn(c) * 0.05
+        sd[name + ".running_var"] = torch.rand(c) + 0.5
+
+    add_conv("cp.resnet.conv1", 64, 3, 7); add_bn("cp.resnet.bn1", 64)
+    chans = {"layer1": (64, 64), "layer2": (64, 128), "layer3": (128, 256),
+             "layer4": (256, 512)}
+    for li, name in enumerate(chans, 1):
+        cin, cout = chans[name]
+        for b in range(2):
+            pre = f"cp.resnet.layer{li}.{b}"
+            c_in = cin if b == 0 else cout
+            add_conv(pre + ".conv1", cout, c_in, 3); add_bn(pre + ".bn1", cout)
+            add_conv(pre + ".conv2", cout, cout, 3); add_bn(pre + ".bn2", cout)
+            if b == 0 and cin != cout:
+                add_conv(pre + ".downsample.0", cout, cin, 1)
+                add_bn(pre + ".downsample.1", cout)
+    for arm, cin in (("arm16", 256), ("arm32", 512)):
+        add_conv(f"cp.{arm}.conv.conv", 128, cin, 3)
+        add_bn(f"cp.{arm}.conv.bn", 128)
+        add_conv(f"cp.{arm}.conv_atten", 128, 128, 1)
+        add_bn(f"cp.{arm}.bn_atten", 128)
+    for head in ("conv_head32", "conv_head16"):
+        add_conv(f"cp.{head}.conv", 128, 128, 3); add_bn(f"cp.{head}.bn", 128)
+    add_conv("cp.conv_avg.conv", 128, 512, 1); add_bn("cp.conv_avg.bn", 128)
+    add_conv("ffm.convblk.conv", 256, 256, 1); add_bn("ffm.convblk.bn", 256)
+    add_conv("ffm.conv1", 64, 256, 1)
+    add_conv("ffm.conv2", 256, 64, 1)
+    add_conv("conv_out.conv.conv", 256, 256, 3); add_bn("conv_out.conv.bn", 256)
+    add_conv("conv_out.conv_out", 19, 256, 1)
+
+    params, state = convert_bisenet(sd)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    out = bisenet.apply(params, state, x)
+    assert out.shape == (1, 64, 64, 19)

@@ -136,6 +136,57 @@ def convert_lpips(alexnet_sd, lin_sd):
 
 
 # ---------------------------------------------------------------------------
+# BiSeNet face parser (79999_iter.pth state_dict names)
+# ---------------------------------------------------------------------------
+
+def convert_bisenet(sd):
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+
+    def conv_bn(conv_prefix, bn_prefix):
+        p, s = _bn(sd, bn_prefix)
+        return ({"conv": _conv2d(sd, conv_prefix, bias=False), "bn": p},
+                {"bn": s})
+
+    def cbr(prefix):  # ConvBNReLU module
+        return conv_bn(prefix + ".conv", prefix + ".bn")
+
+    params, state = {}, {}
+    params["stem"], state["stem"] = conv_bn("cp.resnet.conv1",
+                                            "cp.resnet.bn1")
+    for li, name in enumerate(("layer1", "layer2", "layer3", "layer4"), 1):
+        bp, bs = [], []
+        for b in range(2):
+            pre = f"cp.resnet.layer{li}.{b}"
+            p1, s1 = conv_bn(pre + ".conv1", pre + ".bn1")
+            p2, s2 = conv_bn(pre + ".conv2", pre + ".bn2")
+            blk_p, blk_s = {"c1": p1, "c2": p2}, {"c1": s1, "c2": s2}
+            if pre + ".downsample.0.weight" in sd:
+                pd, sdn = conv_bn(pre + ".downsample.0", pre + ".downsample.1")
+                blk_p["down"], blk_s["down"] = pd, sdn
+            bp.append(blk_p)
+            bs.append(blk_s)
+        params[name], state[name] = bp, bs
+
+    for arm in ("arm16", "arm32"):
+        conv, conv_s = cbr(f"cp.{arm}.conv")
+        att_bn_p, att_bn_s = _bn(sd, f"cp.{arm}.bn_atten")
+        params[arm] = {"conv": conv,
+                       "atten": _conv2d(sd, f"cp.{arm}.conv_atten",
+                                        bias=False),
+                       "atten_bn": att_bn_p}
+        state[arm] = {"conv": conv_s, "atten_bn": att_bn_s}
+    params["head32"], state["head32"] = cbr("cp.conv_head32")
+    params["head16"], state["head16"] = cbr("cp.conv_head16")
+    params["avg"], state["avg"] = cbr("cp.conv_avg")
+    params["ffm"], state["ffm"] = cbr("ffm.convblk")
+    params["ffm_a1"] = _conv2d(sd, "ffm.conv1", bias=False)
+    params["ffm_a2"] = _conv2d(sd, "ffm.conv2", bias=False)
+    params["out"], state["out"] = cbr("conv_out.conv")
+    params["out_final"] = _conv2d(sd, "conv_out.conv_out", bias=False)
+    return params, state
+
+
+# ---------------------------------------------------------------------------
 # DeepSpeech 0.1.0 frozen graph
 # ---------------------------------------------------------------------------
 
@@ -202,6 +253,10 @@ def main():
         alex = torch.load(sys.argv[2], map_location="cpu")
         lin = torch.load(sys.argv[3], map_location="cpu")
         ckpt.save(sys.argv[4], convert_lpips(alex, lin))
+    elif kind == "bisenet":
+        blob = torch.load(sys.argv[2], map_location="cpu")
+        p, s = convert_bisenet(blob)
+        ckpt.save(sys.argv[3], {"params": p, "state": s})
     elif kind == "deepspeech":
         ckpt.save(sys.argv[3], convert_deepspeech(sys.argv[2]))
     else:
