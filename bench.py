@@ -29,7 +29,7 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
-    batch = 8 if on_tpu else 2
+    batch = 16 if on_tpu else 2
     face, lip_h, lip_w = 500, 80, 120
 
     cfg = default_config()
