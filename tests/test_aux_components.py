@@ -153,3 +153,32 @@ def test_bisenet_converter_roundtrip(rng):
     x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
     out = bisenet.apply(params, state, x)
     assert out.shape == (1, 64, 64, 19)
+
+
+def test_fan_forward_and_decode(rng):
+    from speech2lip_tpu.models import fan
+    params, state = fan.init(jax.random.PRNGKey(0), n_modules=2)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))
+    outs = fan.apply(params, state, x)
+    assert len(outs) == 2
+    assert outs[-1].shape == (1, 32, 32, 68)
+    pts = fan.decode_heatmaps(outs[-1])
+    assert pts.shape == (1, 68, 2)
+    p = np.asarray(pts)
+    assert (p >= -1).all() and (p <= 32).all()
+
+
+def test_fan_decode_peak_location():
+    from speech2lip_tpu.models import fan
+    hm = np.zeros((1, 16, 16, 68), np.float32)
+    hm[0, 5, 9, :] = 1.0
+    hm[0, 5, 10, :] = 0.5   # gradient pulls +x
+    pts = np.asarray(fan.decode_heatmaps(jnp.asarray(hm)))
+    np.testing.assert_allclose(pts[0, 0], [9.25, 5.0], atol=1e-5)
+
+
+def test_parsing_bbox():
+    from speech2lip_tpu.preprocess.landmarks import bbox_from_parsing
+    cm = np.zeros((32, 32), np.int32)
+    cm[8:20, 10:25] = 1
+    assert bbox_from_parsing(cm) == (10, 8, 25, 20)

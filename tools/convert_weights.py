@@ -187,6 +187,71 @@ def convert_bisenet(sd):
 
 
 # ---------------------------------------------------------------------------
+# FAN 2D face-alignment network (face_alignment 2DFAN4 state_dict names)
+# ---------------------------------------------------------------------------
+
+def convert_fan(sd, n_modules=4):
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+
+    def bn(prefix):
+        p = {"scale": _t(sd[prefix + ".weight"]),
+             "bias": _t(sd[prefix + ".bias"])}
+        s = {"mean": _t(sd[prefix + ".running_mean"]),
+             "var": _t(sd[prefix + ".running_var"])}
+        return p, s
+
+    def brc(bn_prefix, conv_prefix):  # BN→ReLU→conv unit
+        bp, bs = bn(bn_prefix)
+        return ({"bn": bp, "conv": _conv2d(sd, conv_prefix, bias=False)},
+                {"bn": bs})
+
+    def conv_block(prefix):
+        p1, s1 = brc(prefix + ".bn1", prefix + ".conv1")
+        p2, s2 = brc(prefix + ".bn2", prefix + ".conv2")
+        p3, s3 = brc(prefix + ".bn3", prefix + ".conv3")
+        params = {"b1": p1, "b2": p2, "b3": p3}
+        state = {"b1": s1, "b2": s2, "b3": s3}
+        if prefix + ".downsample.0.weight" in sd:
+            dp, ds = brc(prefix + ".downsample.0", prefix + ".downsample.2")
+            params["down"], state["down"] = dp, ds
+        return params, state
+
+    def hourglass(prefix, depth=4):
+        params, state = {}, {}
+        for d in range(1, depth + 1):
+            for src, dst in (("b1", "up1"), ("b2", "low1"), ("b3", "low3")):
+                p, s = conv_block(f"{prefix}.{src}_{d}")
+                params[f"{dst}_{d}"], state[f"{dst}_{d}"] = p, s
+        p, s = conv_block(f"{prefix}.b2_plus_1")
+        params["low2_1"], state["low2_1"] = p, s
+        return params, state
+
+    params = {"conv1": _conv2d(sd, "conv1", bias=True)}
+    state = {}
+    params["bn1"], state["bn1"] = bn("bn1")
+    for name in ("conv2", "conv3", "conv4"):
+        params[name], state[name] = conv_block(name)
+    hg, top, cl, be, pred, bl, al = [], [], [], [], [], [], []
+    hg_s, top_s, be_s = [], [], []
+    for m in range(n_modules):
+        p, s = hourglass(f"m{m}")
+        hg.append(p); hg_s.append(s)
+        p, s = conv_block(f"top_m_{m}")
+        top.append(p); top_s.append(s)
+        cl.append(_conv2d(sd, f"conv_last{m}", bias=True))
+        bp, bs = bn(f"bn_end{m}")
+        be.append(bp); be_s.append(bs)
+        pred.append(_conv2d(sd, f"l{m}", bias=True))
+        if m < n_modules - 1:
+            bl.append(_conv2d(sd, f"bl{m}", bias=True))
+            al.append(_conv2d(sd, f"al{m}", bias=True))
+    params.update({"hg": hg, "top": top, "conv_last": cl, "bn_end": be,
+                   "pred": pred, "bl": bl, "al": al})
+    state.update({"hg": hg_s, "top": top_s, "bn_end": be_s})
+    return params, state
+
+
+# ---------------------------------------------------------------------------
 # DeepSpeech 0.1.0 frozen graph
 # ---------------------------------------------------------------------------
 
@@ -253,6 +318,11 @@ def main():
         alex = torch.load(sys.argv[2], map_location="cpu")
         lin = torch.load(sys.argv[3], map_location="cpu")
         ckpt.save(sys.argv[4], convert_lpips(alex, lin))
+    elif kind == "fan":
+        blob = torch.load(sys.argv[2], map_location="cpu")
+        sd = blob.get("state_dict", blob)
+        p, s_ = convert_fan(sd)
+        ckpt.save(sys.argv[3], {"params": p, "state": s_})
     elif kind == "bisenet":
         blob = torch.load(sys.argv[2], map_location="cpu")
         p, s = convert_bisenet(blob)
