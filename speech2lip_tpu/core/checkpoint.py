@@ -93,6 +93,36 @@ def load(path: str, like: Any = None) -> Tuple[Any, Dict[str, Any]]:
     return jax.tree_util.tree_unflatten(treedef, new_leaves), scalars
 
 
+def unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    """Rebuild a nested pytree from the flat {path: array} form: path
+    components split on '/', all-integer levels become lists."""
+    root: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split(_SEP)
+        node = root
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+
+    def build(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            idxs = sorted(int(k) for k in keys)
+            if idxs == list(range(len(idxs))):
+                return [build(node[str(i)]) for i in idxs]
+        return {k: build(v) for k, v in node.items()}
+
+    return build(root)
+
+
+def load_nested(path: str) -> Tuple[Any, Dict[str, Any]]:
+    """Load a checkpoint and rebuild its nested structure (no template)."""
+    flat, scalars = load(path)
+    return unflatten(flat), scalars
+
+
 class CheckpointManager:
     """Directory-level manager implementing the reference retention policy."""
 

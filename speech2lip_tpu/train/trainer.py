@@ -124,6 +124,26 @@ def evaluate_psnr(params, cfg, ds: LipDataset, max_frames: int = 64) -> float:
     return -10.0 * np.log(mse) / np.log(10.0)
 
 
+def visualize(params, cfg, ds: LipDataset, metrics_w: MetricsWriter, it: int):
+    """Render one val frame, dump prediction/GT panels + the coord-grid flow
+    visualization (reference Trainer.visualize, training.py:676-740)."""
+    d = cfg["data"]
+    lip_h, lip_w = int(d["height"]), int(d["width"])
+    s = ds.load_frame(0)
+    rgb = render_lip_batch(params, jnp.asarray(s["audio"])[None],
+                           jnp.asarray([float(s["index"])]), lip_h, lip_w)[0]
+    mse = float(jnp.mean((rgb - jnp.asarray(s["rgb"])) ** 2))
+    metrics_w.scalars(it, {"loss": mse,
+                           "psnr": -10.0 * np.log(mse) / np.log(10.0)},
+                      prefix="val_mini/")
+    metrics_w.image(it, "rgb_prediction", np.asarray(rgb))
+    metrics_w.image(it, "rgb_gt", s["rgb"])
+    if "coord" in s:
+        from speech2lip_tpu.ops.flowviz import extract_flow, flow_to_image
+        flow = extract_flow(np.asarray(s["coord"])[None])[0]
+        metrics_w.image(it, "flow", flow_to_image(flow) / 255.0)
+
+
 def fit(cfg: Dict[str, Any], max_iters: Optional[int] = None,
         exit_after: Optional[float] = None) -> TrainState:
     """Run the training loop until max_iters / exit_after. Returns the state."""
@@ -205,6 +225,10 @@ def fit(cfg: Dict[str, Any], max_iters: Optional[int] = None,
                     and is_main_process():
                 ckpt_mgr.save_step(state, it, epoch_it=epoch_it,
                                    loss_val_best=metric_best)
+
+            if (tr.get("visualize_every", 0) > 0
+                    and it % tr["visualize_every"] == 0 and is_main_process()):
+                visualize(state.params, cfg, val_ds, metrics_w, it)
 
             if (tr["validate_every"] > 0 and it % tr["validate_every"] == 0
                     and it != 0 and is_main_process()):

@@ -94,3 +94,17 @@ def test_trainer_fit_and_resume(tmp_path):
     # resume continues from it=4
     state2 = fit(cfg, max_iters=6)
     assert int(state2.it) == 6
+
+
+def test_unflatten_roundtrip(tmp_path):
+    t = {"a": {"list": [jnp.zeros(2), {"w": jnp.ones((2, 2))}],
+               "x": jnp.arange(3.0)}}
+    p = str(tmp_path / "u.ckpt")
+    ckpt.save(p, t)
+    from speech2lip_tpu.core.checkpoint import load_nested
+    rebuilt, _ = load_nested(p)
+    assert isinstance(rebuilt["a"]["list"], list)
+    np.testing.assert_array_equal(np.asarray(rebuilt["a"]["list"][1]["w"]),
+                                  np.ones((2, 2)))
+    np.testing.assert_array_equal(np.asarray(rebuilt["a"]["x"]),
+                                  np.arange(3.0))

@@ -1,0 +1,131 @@
+"""End-to-end preprocessing CLI test: synthetic raw frames + synthetic BFM
+assets through track → warp → uv_mapping → masks → crop_lip →
+audio_features, verifying the artifact-tree contract that data.LipDataset
+consumes."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_preprocess_cli_end_to_end(tmp_path, monkeypatch):
+    import cv2
+    from speech2lip_tpu.preprocess import face_3dmm as bfm
+
+    root = str(tmp_path / "identity")
+    os.makedirs(os.path.join(root, "ori_images_face"))
+    os.makedirs(os.path.join(root, "landmarks"))
+    os.makedirs(os.path.join(root, "audio"))
+
+    # --- synthetic world: 6 frames of a rendered blob + landmarks ---------
+    size = 64
+    n = 6
+    assets = bfm.synthetic_assets(n_verts=150, id_dim=6, exp_dim=4, tex_dim=6,
+                                  seed=1)
+    # save assets in the reference schema for load_assets
+    assets_dir = str(tmp_path / "assets")
+    os.makedirs(assets_dir)
+    n3 = assets.point_num * 3
+    np.save(os.path.join(assets_dir, "3DMM_info.npy"), {
+        "b_shape": np.asarray(assets.base_id) * 1e5,
+        "b_exp": np.asarray(assets.base_exp) * 1e5,
+        "mu_shape": np.asarray(assets.mu) * 1e5,
+        "mu_exp": np.zeros(n3, np.float32),
+        "b_tex": np.asarray(assets.base_tex),
+        "mu_tex": np.asarray(assets.mu_tex),
+        "sig_shape": np.asarray(assets.sig_id),
+        "sig_exp": np.asarray(assets.sig_exp),
+        "sig_tex": np.asarray(assets.sig_tex),
+    }, allow_pickle=True)
+    np.save(os.path.join(assets_dir, "keys_info.npy"), {
+        "keyinds": np.asarray(assets.keyinds),
+        "left_contour": np.asarray(assets.left_contour),
+        "right_contour": np.asarray(assets.right_contour),
+        "rigid_ids": np.asarray(assets.keyinds[:20]),
+    }, allow_pickle=True)
+    np.save(os.path.join(assets_dir, "topology_info.npy"), {
+        "tris": np.asarray(assets.tris),
+        "vert_tris": np.asarray(assets.vert_tris),
+    }, allow_pickle=True)
+
+    import jax.numpy as jnp
+    rng = np.random.default_rng(2)
+    focal = 80.0
+    euler = (0.05 * rng.standard_normal((n, 3))).astype(np.float32)
+    trans = np.tile(np.array([[0, 0, -7.0]], np.float32), (n, 1))
+    exp = (0.1 * rng.standard_normal((n, 4))).astype(np.float32)
+    idp = jnp.zeros((1, 6))
+    geo = bfm.get_3dlandmarks(assets, jnp.broadcast_to(idp, (n, 6)),
+                              jnp.asarray(exp), jnp.asarray(euler),
+                              jnp.asarray(trans), focal, (size / 2, size / 2))
+    lms = np.asarray(bfm.forward_transform(
+        geo, jnp.asarray(euler), jnp.asarray(trans), focal,
+        (size / 2, size / 2))[:, :, :2])
+    # rendered frames from the true parameters
+    geo_full = bfm.forward_geo(assets, jnp.broadcast_to(idp, (n, 6)),
+                               jnp.asarray(exp))
+    rott = bfm.rot_trans_pts(geo_full, bfm.euler2rot(jnp.asarray(euler)),
+                             jnp.asarray(trans))
+    tex = jnp.broadcast_to(bfm.forward_tex(assets, jnp.zeros((1, 6))),
+                           (n, assets.point_num, 3))
+    imgs, _ = bfm.render_mesh(assets, rott, tex, jnp.zeros((n, 27)), focal,
+                              size, size, tile=16, max_faces_per_tile=128,
+                              chunk=4)
+    for i in range(n):
+        name = "{:05d}".format(i + 1)
+        cv2.imwrite(os.path.join(root, "ori_images_face", name + ".jpg"),
+                    np.asarray(imgs[i])[..., ::-1])
+        np.savetxt(os.path.join(root, "landmarks", name + ".lms"), lms[i])
+
+    from scipy.io import wavfile
+    t = np.arange(16000) / 16000.0
+    wavfile.write(os.path.join(root, "audio", "audio.wav"), 16000,
+                  (0.2 * np.sin(2 * np.pi * 300 * t) * 32767).astype(np.int16))
+
+    # --- run the CLI steps -------------------------------------------------
+    from speech2lip_tpu.cli import preprocess as cli
+    from speech2lip_tpu.preprocess.tracker import TrackerConfig
+
+    # shrink iteration budgets + raster sizes for the test
+    small = TrackerConfig(id_dim=6, exp_dim=4, tex_dim=6, img_h=size,
+                          img_w=size, batch_size=3, iters_pose=150,
+                          iters_idexp=100, iters_photo=4, iters_window=3,
+                          raster_kwargs=dict(tile=16, max_faces_per_tile=128,
+                                             chunk=4))
+    monkeypatch.setattr("speech2lip_tpu.preprocess.tracker.TrackerConfig",
+                        lambda **kw: small)
+    import speech2lip_tpu.preprocess.steps as S
+    orig_depth = S.mesh_depth
+    monkeypatch.setattr(S, "mesh_depth", lambda *a, **kw: orig_depth(
+        *a, **{**kw, "tile": 16, "max_faces_per_tile": 128, "chunk": 4}))
+
+    def run(step):
+        monkeypatch.setattr(sys, "argv", [
+            "preprocess", step, "--root", root, "--assets", assets_dir,
+            "--crop_size", str(size), "--focal", str(focal),
+            "--lip_w", "16", "--lip_h", "12",
+            "--weights_dir", str(tmp_path / "nonexistent")])
+        cli.main()
+
+    for step in ("track", "warp", "uv_mapping", "masks", "crop_lip",
+                 "audio_features"):
+        run(step)
+
+    # --- artifact contract -------------------------------------------------
+    assert os.path.exists(os.path.join(root, "track_params.pt.npz"))
+    assert len(os.listdir(os.path.join(root, "warp_images"))) == n
+    assert len(os.listdir(os.path.join(root, "coords"))) == n
+    c = np.load(os.path.join(root, "coords", "00001.npy"))
+    assert c.shape == (size, size, 2) and np.abs(c).max() <= 1.0
+    assert os.path.exists(os.path.join(root, "depth_face_canonical.npy"))
+    assert os.path.exists(os.path.join(root, "canonical_face_mask.jpg"))
+    assert os.path.exists(os.path.join(root, "canonical_lip_mask.jpg"))
+    crops = os.listdir(os.path.join(root, "images"))
+    assert len(crops) == n
+    img = cv2.imread(os.path.join(root, "images", "00001.jpg"))
+    assert img.shape == (12, 16, 3)
+    aud = np.load(os.path.join(root, "audio", "audio.npy"))
+    assert aud.shape[1:] == (16, 29)
