@@ -20,6 +20,13 @@ import jax  # noqa: E402
 # the config level before any device is touched.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite's cost is dominated by XLA-CPU
+# compiles of the large train-step graphs; repeat runs hit the cache
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
