@@ -163,6 +163,32 @@ class LipDataset:
             self.coords_dir, self.coord_files[self._index_map[pos]])
         ).astype(np.float32)
 
+    def load_frame_light(self, pos: int) -> Dict[str, Any]:
+        """The cheap in-memory fields of a sample (everything except the
+        per-frame lip/face JPEGs and the coord grid) — the complement of the
+        native prefetcher's file set (train/trainer._native_prefetcher)."""
+        idx = self._index_map[pos]
+        s: Dict[str, Any] = {
+            "audio": self.aud[idx].astype(np.float32),
+            "index": np.int32(pos),
+            "total_frame": np.int32(len(self._index_map)),
+            "rgb_face_zero": self.rgb_face_zero,
+            "mask_lip_canonical": self.mask_lip_canonical,
+            "lip_lefttop_x": np.int32(self.lefttop_x),
+            "lip_lefttop_y": np.int32(self.lefttop_y),
+            "rgb_zero": self.rgb_zero,
+            "height": np.int32(self.lip_h),
+            "width": np.int32(self.lip_w),
+        }
+        if self.use_canonical_depth:
+            s["canonical_euler"] = self.canonical_euler
+            s["canonical_trans"] = self.canonical_trans
+            s["euler"] = self.euler[idx]
+            s["trans"] = self.trans[idx]
+            s["mask_head_canonical"] = self.mask_head_canonical
+            s["mask_face_canonical"] = self.mask_face_canonical
+        return s
+
     def load_frame(self, pos: int) -> Dict[str, Any]:
         """Assemble the per-frame sample dict (reference load_one_frame,
         someones_lip_dataset.py:242-399).  ``pos`` indexes within the split."""

@@ -95,17 +95,63 @@ def load_frozen_weights(cfg: Dict[str, Any], frozen: Dict[str, Any]):
 
 
 def batch_iterator(ds: LipDataset, batch_size: int, shuffle: bool,
-                   seed: int, n_proc: int = 1,
-                   proc_id: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-    """Per-host sharded epoch iterator (the DistributedSampler equivalent)."""
+                   seed: int, n_proc: int = 1, proc_id: int = 0,
+                   use_native: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    """Per-host sharded epoch iterator (the DistributedSampler equivalent).
+
+    With ``use_native`` (and the C++ runtime built), the heavy per-frame
+    files (lip/face JPEGs + the 2MB coord grid) stream through the native
+    async prefetcher (data/native_loader.py) while the cheap in-memory
+    fields come from the Python reader; the sync-loss extras (multi-frame
+    windows) keep the Python path.
+    """
     rng = np.random.default_rng(seed)
     order = np.arange(len(ds))
     if shuffle:
         rng.shuffle(order)
     order = order[proc_id::n_proc]
+
+    prefetcher = None
+    if use_native and not (ds.use_syncloss and ds.mode == "train"):
+        prefetcher = _native_prefetcher(ds)
+        if prefetcher is not None:
+            prefetcher.start_epoch([int(i) for i in order])
+
     for i in range(0, len(order) - batch_size + 1, batch_size):
         idxs = order[i:i + batch_size]
-        yield stack_batch([ds.load_frame(int(j)) for j in idxs])
+        if prefetcher is None:
+            yield stack_batch([ds.load_frame(int(j)) for j in idxs])
+            continue
+        samples = []
+        for j in idxs:
+            sample_idx, (rgb, face_ori, coord) = prefetcher.pop()
+            assert sample_idx == int(j)
+            s = ds.load_frame_light(sample_idx)
+            s.update({"rgb": rgb, "rgb_face_ori": face_ori, "coord": coord})
+            samples.append(s)
+        yield stack_batch(samples)
+
+
+def _native_prefetcher(ds: LipDataset):
+    """Build a SamplePrefetcher over (lip jpg, face jpg, coord npy) or None
+    when the native runtime is unavailable."""
+    import os
+    try:
+        from speech2lip_tpu.data.native_loader import SamplePrefetcher
+        files = []
+        for pos in range(len(ds)):
+            idx = ds._index_map[pos]
+            files.append([
+                os.path.join(ds.images_dir, ds.files[idx]),
+                os.path.join(ds.faces_dir, ds.files[idx]),
+                os.path.join(ds.coords_dir, ds.coord_files[idx]),
+            ])
+        specs = [("jpeg", (ds.lip_h, ds.lip_w)),
+                 ("jpeg", (ds.face_h, ds.face_w)),
+                 ("npy", (ds.face_h, ds.face_w, 2))]
+        return SamplePrefetcher(files, specs)
+    except (ImportError, OSError, IndexError):
+        return None
 
 
 def evaluate_psnr(params, cfg, ds: LipDataset, max_frames: int = 64) -> float:

@@ -99,15 +99,16 @@ def test_convert_talking_face_weights(rng):
     from tools.convert_weights import convert_talking_face
     from speech2lip_tpu.models import talking_face as tfm
 
+    torch.manual_seed(0)  # deterministic regardless of suite order
     sd = {}
     chans = [(29, 32), (32, 32), (32, 64), (64, 64)]
     for k, (ci, co) in zip((0, 2, 4, 6), chans):
-        sd[f"encoder_conv.{k}.weight"] = torch.randn(co, ci, 3)
-        sd[f"encoder_conv.{k}.bias"] = torch.randn(co)
-    sd["encoder_fc1.0.weight"] = torch.randn(64, 64)
-    sd["encoder_fc1.0.bias"] = torch.randn(64)
-    sd["encoder_fc1.2.weight"] = torch.randn(64, 64)
-    sd["encoder_fc1.2.bias"] = torch.randn(64)
+        sd[f"encoder_conv.{k}.weight"] = torch.randn(co, ci, 3) * 0.1
+        sd[f"encoder_conv.{k}.bias"] = torch.randn(co) * 0.1
+    sd["encoder_fc1.0.weight"] = torch.randn(64, 64) * 0.1
+    sd["encoder_fc1.0.bias"] = torch.randn(64) * 0.1
+    sd["encoder_fc1.2.weight"] = torch.randn(64, 64) * 0.1
+    sd["encoder_fc1.2.bias"] = torch.randn(64) * 0.1
     for name, (i, o) in {"fc_uv": (42, 256), "fc_uv_skip": (42, 256),
                          "fc_audio": (64, 256), "fc_audio_skip": (64, 256),
                          "fc_time": (20, 256), "fc_time_skip": (20, 256),

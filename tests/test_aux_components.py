@@ -109,6 +109,7 @@ def test_bisenet_converter_roundtrip(rng):
     from tools.convert_weights import convert_bisenet
     from speech2lip_tpu.models import bisenet
 
+    torch.manual_seed(0)
     sd = {}
 
     def add_conv(name, cout, cin, k, bias=False):

@@ -152,3 +152,27 @@ def test_renderer_inference(tree):
     assert out["lip"].shape == (2, geo["lip_h"], geo["lip_w"], 3)
     assert out["face"].shape == (2, geo["face"], geo["face"], 3)
     assert np.isfinite(np.asarray(out["face"])).all()
+
+
+def test_native_batch_iterator_matches_python(tree):
+    """The native-prefetch iterator yields the same batches as the Python
+    reader (images within JPEG-decoder tolerance)."""
+    pytest.importorskip("cv2")
+    root, geo, cfg = tree
+    import copy
+    cfg = copy.deepcopy(cfg)
+    cfg["training"]["use_syncloss"] = False
+    ds = LipDataset(root, "train", cfg)
+    from speech2lip_tpu.train.trainer import batch_iterator, _native_prefetcher
+    if _native_prefetcher(ds) is None:
+        pytest.skip("native loader unavailable")
+    nat = list(batch_iterator(ds, 2, shuffle=True, seed=3, use_native=True))
+    py = list(batch_iterator(ds, 2, shuffle=True, seed=3, use_native=False))
+    assert len(nat) == len(py) > 0
+    for bn, bp in zip(nat, py):
+        assert set(bn) == set(bp)
+        for k in bp:
+            if k in ("rgb", "rgb_face_ori"):
+                assert np.abs(bn[k] - bp[k]).max() < 3.0 / 255.0
+            else:
+                np.testing.assert_allclose(bn[k], bp[k], atol=1e-6)
