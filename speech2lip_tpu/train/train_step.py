@@ -101,8 +101,14 @@ def render_lip_ensemble(params, audio: jnp.ndarray, t_indices: jnp.ndarray,
 
 
 def _fuse_frame(params, unet_params, unet_state, rgb_lip, batch, coord,
-                key, st: StepStatics, blackaug: bool):
-    """Post-fusion composite + U-Net for a batch of frames."""
+                key, st: StepStatics, blackaug: bool, mesh=None):
+    """Post-fusion composite + U-Net for a batch of frames.
+
+    With ``mesh`` (a 2-D (data, pixel) mesh), the 500² face tensors carry a
+    sharding constraint over (batch=data, rows=pixel): the SPMD partitioner
+    spatially partitions the compositing + U-Net convs with halo exchanges —
+    the intra-frame (SP) axis complementing frame DP (SURVEY.md §2.10).
+    """
     noise = None
     if blackaug:
         k1, k2, k3 = jax.random.split(key, 3)
@@ -114,6 +120,9 @@ def _fuse_frame(params, unet_params, unet_state, rgb_lip, batch, coord,
         rgb_lip, batch["rgb_face_zero"], batch["rgb_face_ori"],
         batch["mask_lip_canonical"], coord, st.lip_x, st.lip_y,
         expand_divisor=st.expand_divisor, blackaug_noise=noise)
+    if mesh is not None:
+        from speech2lip_tpu.parallel.mesh import pixel_sharded
+        unet_in = pixel_sharded(unet_in, mesh)
     train_bn = not st.postnet_frozen
     face, new_unet_state = unet_light.apply(unet_params, unet_state, unet_in,
                                             train=train_bn)
@@ -121,7 +130,7 @@ def _fuse_frame(params, unet_params, unet_state, rgb_lip, batch, coord,
 
 
 def compute_losses(params, unet_params, unet_state, frozen, batch, key,
-                   st: StepStatics):
+                   st: StepStatics, mesh=None):
     """Full loss dict for one batch (reference train_stage1).
 
     frozen: dict with 'lpips' and optional 'syncnet' (params, state).
@@ -150,7 +159,7 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
     # 2. post-fusion face + losses (training.py:424-459)
     face, new_unet_state = _fuse_frame(
         params, unet_params, unet_state, rgb_lip, batch, batch["coord"],
-        keys[1], st, blackaug=st.use_blackaug)
+        keys[1], st, blackaug=st.use_blackaug, mesh=mesh)
     loss_rgb_face = losses.photometric_loss(
         face, batch["rgb_face_ori"],
         weight=st.w_photometric * st.w_post_fusion)
@@ -232,17 +241,19 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
 
 
 def make_train_step(optimizer: optax.GradientTransformation,
-                    st: StepStatics, frozen, donate: bool = True):
+                    st: StepStatics, frozen, donate: bool = True, mesh=None):
     """Build the jitted train step.
 
     frozen: {'lpips': params, 'syncnet': (params, state)?} — closed over, so
-    they are constants in the compiled program.
+    they are constants in the compiled program.  ``mesh``: optional 2-D
+    (data, pixel) mesh enabling intra-frame spatial partitioning.
     """
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], key):
         def loss_fn(trainable):
             return compute_losses(trainable["model"], trainable["unet"],
-                                  state.unet_state, frozen, batch, key, st)
+                                  state.unet_state, frozen, batch, key, st,
+                                  mesh=mesh)
 
         trainable = {"model": state.params, "unet": state.unet_params}
         grads, (metrics, new_unet_state) = jax.grad(

@@ -176,3 +176,29 @@ def test_native_batch_iterator_matches_python(tree):
                 assert np.abs(bn[k] - bp[k]).max() < 3.0 / 255.0
             else:
                 np.testing.assert_allclose(bn[k], bp[k], atol=1e-6)
+
+
+def test_2d_mesh_data_pixel_sharding(tree):
+    """Train step under a (2, 4) (data, pixel) mesh with the face path
+    spatially partitioned matches the single-device result."""
+    root, geo, cfg = tree
+    ds = LipDataset(root, "train", cfg)
+    params, unet_p, unet_s, frozen, st = _build(cfg, geo, ds)
+    opt = make_optimizer(cfg)
+    mesh = make_mesh((2, 4))
+    trainable = {"model": params, "unet": unet_p}
+    state = TrainState(params, unet_p, unet_s, opt.init(trainable),
+                       jnp.int32(0))
+    state_r = replicate(state, mesh)
+    frozen_r = replicate(frozen, mesh)
+    batch = stack_batch([ds.load_frame(i) for i in range(2)])
+    batch_r = shard_batch(batch, mesh)
+    step_sp = make_train_step(opt, st, frozen_r, donate=False, mesh=mesh)
+    new_state, metrics = step_sp(state_r, batch_r, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+    step_1 = make_train_step(opt, st, frozen, donate=False)
+    _, metrics_1 = step_1(state, jax.tree.map(jnp.asarray, batch),
+                          jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics_1["loss"]), rtol=2e-4)
