@@ -54,7 +54,7 @@ def init(key, cfg: Dict[str, Any], canonical_depth_init=None,
     skips = list(m.get("skips", [4]))
     uv_dim = fourier_embed_dim(2, m["uv_embed"])  # 42
 
-    n_keys = 10 + depth + len(skips) + 8
+    n_keys = 10 + depth + len(skips) + 17
     keys = iter(jax.random.split(key, n_keys))
 
     params: Dict[str, Any] = {}
@@ -74,11 +74,32 @@ def init(key, cfg: Dict[str, Any], canonical_depth_init=None,
             ],
         }
 
+    if m.get("use_head_pose") and m.get("use_head_pose_net"):
+        # 3×Conv1d over the 5-step pose window + 2 FCs (tf_nerf.py:113-128)
+        params["pose_enc"] = {
+            "conv": [
+                snn.conv1d_init(next(keys), 3, 8, 3, dtype=dtype),
+                snn.conv1d_init(next(keys), 8, 8, 3, dtype=dtype),
+                snn.conv1d_init(next(keys), 8, 8, 3, dtype=dtype),
+            ],
+            "fc": [
+                snn.linear_init(next(keys), 8, 3, dtype),
+                snn.linear_init(next(keys), 3, 3, dtype),
+            ],
+        }
+
     params["fc_uv"] = snn.linear_init(next(keys), uv_dim, width, dtype)
     params["fc_uv_skip"] = snn.linear_init(next(keys), uv_dim, width, dtype)
     if m["use_audio"]:
-        params["fc_audio"] = snn.linear_init(next(keys), AUDIO_CODE_DIM, width, dtype)
-        params["fc_audio_skip"] = snn.linear_init(next(keys), AUDIO_CODE_DIM, width, dtype)
+        audio_in = AUDIO_CODE_DIM
+        if not m.get("audio_not_embed", True):
+            audio_in = fourier_embed_dim(AUDIO_CODE_DIM, m["audio_embed"])
+        params["fc_audio"] = snn.linear_init(next(keys), audio_in, width, dtype)
+        params["fc_audio_skip"] = snn.linear_init(next(keys), audio_in, width, dtype)
+    if m.get("use_head_pose"):
+        pose_dim = fourier_embed_dim(3, m.get("head_pose_multires", 10))
+        params["fc_pose"] = snn.linear_init(next(keys), pose_dim, width, dtype)
+        params["fc_pose_skip"] = snn.linear_init(next(keys), pose_dim, width, dtype)
     if m["use_time"]:
         params["fc_time"] = snn.linear_init(next(keys), TIME_DIM, width, dtype)
         params["fc_time_skip"] = snn.linear_init(next(keys), TIME_DIM, width, dtype)
@@ -135,6 +156,19 @@ def encode_audio(params, audio: jnp.ndarray) -> jnp.ndarray:
     x = x[:, 0, :]  # L collapsed 16->8->4->2->1
     x = snn.leaky_relu(snn.linear(params["audio_enc"]["fc"][0], x), 0.02)
     return snn.linear(params["audio_enc"]["fc"][1], x)  # [B, 64]
+
+
+def encode_head_pose(params, pose_window: jnp.ndarray) -> jnp.ndarray:
+    """5-step head-pose window -> 3-d pose code (tf_nerf.py:215-223).
+
+    pose_window: [B, 5, 3] (window, euler)."""
+    x = pose_window  # NLC: L=5 window steps, C=3
+    for conv_p in params["pose_enc"]["conv"]:
+        x = snn.conv1d(conv_p, x, stride=2, padding=1)
+        x = snn.leaky_relu(x, 0.02)
+    x = x[:, 0, :]
+    x = snn.leaky_relu(snn.linear(params["pose_enc"]["fc"][0], x), 0.02)
+    return snn.linear(params["pose_enc"]["fc"][1], x)
 
 
 def frame_feature(params, audio_code: jnp.ndarray, t_index) -> tuple:

@@ -163,3 +163,48 @@ def test_post_fusion_composite_matches_torch(params, rng):
     np.testing.assert_allclose(np.asarray(unet_in),
                                ref_unet_in.permute(0, 2, 3, 1).numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_head_pose_encoder_and_projections(rng):
+    from speech2lip_tpu.core.config import default_config
+    cfg = default_config()
+    cfg["model"].update({"use_head_pose": True, "use_head_pose_net": True,
+                         "use_canonical_depth": False})
+    params = tf.init(jax.random.PRNGKey(1), cfg)
+    assert params["fc_pose"]["w"].shape == (63, 256)  # 3*(1+2*10)
+    pose = jnp.asarray(rng.standard_normal((2, 5, 3)).astype(np.float32))
+    code = tf.encode_head_pose(params, pose)
+    assert code.shape == (2, 3)
+
+    # torch oracle of the pose conv stack
+    convs = []
+    for i, (ci, co) in enumerate([(3, 8), (8, 8), (8, 8)]):
+        m = torch.nn.Conv1d(ci, co, 3, stride=2, padding=1)
+        w = np.asarray(params["pose_enc"]["conv"][i]["w"])
+        m.weight.data = torch.from_numpy(w.transpose(2, 1, 0).copy())
+        m.bias.data = torch.from_numpy(np.asarray(
+            params["pose_enc"]["conv"][i]["b"]).copy())
+        convs.append(m)
+    x = torch.from_numpy(np.asarray(pose)).permute(0, 2, 1)
+    with torch.no_grad():
+        for m in convs:
+            x = torch.nn.functional.leaky_relu(m(x), 0.02)
+        x = x.squeeze(-1)
+        for i in range(2):
+            w = torch.from_numpy(np.asarray(params["pose_enc"]["fc"][i]["w"]).copy())
+            b = torch.from_numpy(np.asarray(params["pose_enc"]["fc"][i]["b"]).copy())
+            x = x @ w + b
+            if i == 0:
+                x = torch.nn.functional.leaky_relu(x, 0.02)
+    np.testing.assert_allclose(np.asarray(code), x.numpy(), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_audio_embed_path_init(rng):
+    from speech2lip_tpu.core.config import default_config
+    cfg = default_config()
+    cfg["model"].update({"audio_not_embed": False, "audio_embed": 6,
+                         "use_canonical_depth": False})
+    params = tf.init(jax.random.PRNGKey(2), cfg)
+    # 64 * (1 + 2*6) = 832 (tf_nerf.py:243 comment)
+    assert params["fc_audio"]["w"].shape == (832, 256)
