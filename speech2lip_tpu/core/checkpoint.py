@@ -123,8 +123,24 @@ def load_nested(path: str) -> Tuple[Any, Dict[str, Any]]:
     return unflatten(flat), scalars
 
 
+def check_weights(tree: Any) -> list:
+    """Names of non-finite leaves (the reference's per-step NaN scan,
+    src/common.py:56-64, called training.py:560)."""
+    bad = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        arr = np.asarray(leaf)
+        if np.issubdtype(arr.dtype, np.floating) and not np.isfinite(arr).all():
+            bad.append(_SEP.join(_path_str(p) for p in path))
+    return bad
+
+
 class CheckpointManager:
-    """Directory-level manager implementing the reference retention policy."""
+    """Directory-level manager implementing the reference retention policy.
+
+    ``async_=True`` hands the (host-copied) pytree to a background writer
+    thread — the orbax-style async checkpoint noted in SURVEY.md §5 — so the
+    train loop never blocks on disk.
+    """
 
     LATEST = "model.ckpt"
     BEST = "model_best.ckpt"
@@ -132,15 +148,33 @@ class CheckpointManager:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
+        self._pending = None
 
     def _p(self, name: str) -> str:
         return os.path.join(self.out_dir, name)
 
-    def save_latest(self, tree, **scalars):
-        save(self._p(self.LATEST), tree, scalars)
+    def _write(self, path, tree, scalars, async_):
+        self.wait()
+        if not async_:
+            save(path, tree, scalars)
+            return
+        import threading
+        host_tree = jax.tree.map(np.asarray, tree)  # snapshot before async
+        self._pending = threading.Thread(
+            target=save, args=(path, host_tree, scalars), daemon=True)
+        self._pending.start()
 
-    def save_step(self, tree, it: int, **scalars):
-        save(self._p(f"model_{it}.ckpt"), tree, dict(scalars, it=it))
+    def wait(self):
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+
+    def save_latest(self, tree, async_: bool = False, **scalars):
+        self._write(self._p(self.LATEST), tree, scalars, async_)
+
+    def save_step(self, tree, it: int, async_: bool = False, **scalars):
+        self._write(self._p(f"model_{it}.ckpt"), tree,
+                    dict(scalars, it=it), async_)
 
     def save_best(self, tree, **scalars):
         """Timestamped backup of the previous best, then overwrite
@@ -169,6 +203,7 @@ class CheckpointManager:
         """Load by name, or resume-by-default from the latest checkpoint;
         returns (tree, scalars) or (like, {}) when nothing exists
         (reference train.py:134-139 falls back to fresh state)."""
+        self.wait()
         path = self._p(name) if name else self.latest_step_file()
         if path is None or not os.path.exists(path):
             return like, {}

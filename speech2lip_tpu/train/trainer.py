@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from speech2lip_tpu.core.checkpoint import CheckpointManager
+from speech2lip_tpu.core.checkpoint import CheckpointManager, check_weights
 from speech2lip_tpu.core.metrics import MetricsWriter, is_main_process, setup_logger
 from speech2lip_tpu.data.dataset import LipDataset, stack_batch
 from speech2lip_tpu.models import lpips as lpips_mod
@@ -265,11 +265,15 @@ def fit(cfg: Dict[str, Any], max_iters: Optional[int] = None,
 
             if (tr["checkpoint_every"] > 0 and it % tr["checkpoint_every"] == 0
                     and is_main_process()):
-                ckpt_mgr.save_latest(state, epoch_it=epoch_it, it=it,
-                                     loss_val_best=metric_best)
+                bad = check_weights(state.params)
+                if bad:
+                    raise FloatingPointError(
+                        f"non-finite weights at it={it}: {bad[:5]}")
+                ckpt_mgr.save_latest(state, async_=True, epoch_it=epoch_it,
+                                     it=it, loss_val_best=metric_best)
             if tr["backup_every"] > 0 and it % tr["backup_every"] == 0 \
                     and is_main_process():
-                ckpt_mgr.save_step(state, it, epoch_it=epoch_it,
+                ckpt_mgr.save_step(state, it, async_=True, epoch_it=epoch_it,
                                    loss_val_best=metric_best)
 
             if (tr.get("visualize_every", 0) > 0

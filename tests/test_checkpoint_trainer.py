@@ -108,3 +108,16 @@ def test_unflatten_roundtrip(tmp_path):
                                   np.ones((2, 2)))
     np.testing.assert_array_equal(np.asarray(rebuilt["a"]["x"]),
                                   np.arange(3.0))
+
+
+def test_async_save_and_check_weights(tmp_path):
+    from speech2lip_tpu.core.checkpoint import check_weights
+    mgr = CheckpointManager(str(tmp_path))
+    t = _tree()
+    mgr.save_latest(t, async_=True, it=7)
+    mgr.wait()
+    restored, scalars = mgr.restore(jax.tree.map(jnp.zeros_like, t))
+    assert scalars["it"] == 7
+    assert check_weights(t) == []
+    bad = {"a": jnp.array([1.0, jnp.nan])}
+    assert check_weights(bad) == ["a"]
