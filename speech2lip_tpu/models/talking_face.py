@@ -317,7 +317,21 @@ def post_fusion_composite(rgb_lip, face_canonical, rgb_gt, mask_lip,
             rgb_gt, blended.astype(rgb_gt.dtype), (0, wy0, wx0, 0))
         return unet_input, rgb_gt, merged_canonical
 
-    rgb_merged = grid_sample(merged_canonical, coord, padding_mode="zeros")
+    if window is not None and blackaug_noise is not None:
+        # exact gradient windowing: outside the validated window the warp
+        # samples canonical locations outside the expanded box, where
+        # merged_canonical ≡ face_canonical (no rgb_lip dependence) — so the
+        # full-frame gather can be gradient-free and only the window slice
+        # carries gradients (kills the 500²-scatter backward of the gather)
+        wy0, wx0, wh, ww = window
+        full = grid_sample(jax.lax.stop_gradient(merged_canonical), coord,
+                           padding_mode="zeros")
+        grid_w = jax.lax.slice(coord, (0, wy0, wx0, 0),
+                               (b, wy0 + wh, wx0 + ww, 2))
+        win = grid_sample(merged_canonical, grid_w, padding_mode="zeros")
+        rgb_merged = jax.lax.dynamic_update_slice(full, win, (0, wy0, wx0, 0))
+    else:
+        rgb_merged = grid_sample(merged_canonical, coord, padding_mode="zeros")
     mask_warped = warp_box_mask(coord, box, h, w).astype(rgb_merged.dtype)
 
     if blackaug_noise is not None:

@@ -71,6 +71,7 @@ class StepStatics:
     sync_T: int = 5
     face_bbox: Tuple[int, int, int, int] = (0, 0, 96, 96)  # x, y, x2, y2
     ensemble: bool = True
+    window: Optional[Tuple[int, int, int, int]] = None  # validated warp win
 
 
 def render_lip_ensemble(params, audio: jnp.ndarray, t_indices: jnp.ndarray,
@@ -119,7 +120,8 @@ def _fuse_frame(params, unet_params, unet_state, rgb_lip, batch, coord,
     unet_in, _, _ = tf.post_fusion_composite(
         rgb_lip, batch["rgb_face_zero"], batch["rgb_face_ori"],
         batch["mask_lip_canonical"], coord, st.lip_x, st.lip_y,
-        expand_divisor=st.expand_divisor, blackaug_noise=noise)
+        expand_divisor=st.expand_divisor, blackaug_noise=noise,
+        window=st.window)
     if mesh is not None:
         from speech2lip_tpu.parallel.mesh import pixel_sharded
         unet_in = pixel_sharded(unet_in, mesh)
@@ -210,7 +212,7 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
                 lip_k, batch["rgb_face_zero"], batch["rgb_face_ori"],
                 batch["mask_lip_canonical"],
                 batch["coord_window"][:, fidx], st.lip_x, st.lip_y,
-                expand_divisor=st.expand_divisor)
+                expand_divisor=st.expand_divisor, window=st.window)
             fused, _ = unet_light.apply(unet_params, unet_state, unet_in,
                                         train=False)
             x0, y0, x1, y1 = st.face_bbox

@@ -64,7 +64,32 @@ def build_statics(cfg: Dict[str, Any], ds: LipDataset,
         sync_on=sync_on, postnet_frozen=frozen,
         face_bbox=bbox,
         ensemble=bool(tr["use_local_ensemble"]),
+        window=_warp_window(cfg, ds),
     )
+
+
+_WINDOW_CACHE: Dict[int, Any] = {}
+
+
+def _warp_window(cfg, ds: LipDataset):
+    """Static warp window for the composite fast path: explicit config value
+    or computed once per dataset from all coord grids (data/windows.py)."""
+    if id(ds) in _WINDOW_CACHE:
+        return _WINDOW_CACHE[id(ds)]
+    win = cfg["data"].get("warp_window")
+    if win is None and cfg["data"].get("compute_warp_window", True):
+        import os
+        if os.path.isdir(ds.coords_dir) and len(ds) > 0:
+            from speech2lip_tpu.data.windows import compute_warp_window
+            from speech2lip_tpu.models.talking_face import expanded_lip_box
+            box = expanded_lip_box(ds.lip_h, ds.lip_w, ds.lefttop_x,
+                                   ds.lefttop_y,
+                                   cfg["data"].get("expand_mask_divisor", 5))
+            win = compute_warp_window((ds._coord(i) for i in range(len(ds))),
+                                      box, ds.face_h, ds.face_w, margin=8)
+    win = tuple(win) if win is not None else None
+    _WINDOW_CACHE[id(ds)] = win
+    return win
 
 
 def init_models(cfg: Dict[str, Any], ds: LipDataset, seed: int = 0):

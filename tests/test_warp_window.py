@@ -51,3 +51,46 @@ def test_windowed_composite_equals_full(rng):
     fast, _, _ = tf.post_fusion_composite(*args, window=window)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(full),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_windowed_blackaug_composite_matches_full(rng):
+    """The gradient-windowed blackaug path is forward-exact vs the full path
+    and its gradient w.r.t. the lip matches."""
+    import jax
+    B, H, W, lh, lw = 1, 48, 48, 12, 16
+    lip_x, lip_y = 16, 28
+    rgb_lip = jnp.asarray(rng.uniform(0, 1, (B, lh, lw, 3)).astype(np.float32))
+    face = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(0, 1, (B, H, W, 3)) > 0.5).astype(np.float32))
+    ys, xs = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+                         indexing="ij")
+    coord = np.stack([xs, ys], -1)[None].astype(np.float32)
+    coord += 0.01 * rng.standard_normal(coord.shape).astype(np.float32)
+    coord = jnp.asarray(coord)
+    noise = ((rng.uniform(0, 1, (B, H, W, 1)) > 0.5).astype(np.float32),
+             (rng.uniform(0, 1, (B, H, W, 1)) > 0.5).astype(np.float32),
+             jnp.asarray(True))
+    noise = (jnp.asarray(noise[0]), jnp.asarray(noise[1]), noise[2])
+
+    box = tf.expanded_lip_box(lh, lw, lip_x, lip_y)
+    window = compute_warp_window([np.asarray(coord)[0]], box, H, W)
+
+    def out_full(lip):
+        o, _, _ = tf.post_fusion_composite(lip, face, gt, mask, coord,
+                                           lip_x, lip_y, blackaug_noise=noise)
+        return o
+
+    def out_win(lip):
+        o, _, _ = tf.post_fusion_composite(lip, face, gt, mask, coord,
+                                           lip_x, lip_y, blackaug_noise=noise,
+                                           window=window)
+        return o
+
+    np.testing.assert_allclose(np.asarray(out_win(rgb_lip)),
+                               np.asarray(out_full(rgb_lip)),
+                               rtol=1e-5, atol=1e-6)
+    g_full = jax.grad(lambda l: jnp.sum(out_full(l) ** 2))(rgb_lip)
+    g_win = jax.grad(lambda l: jnp.sum(out_win(l) ** 2))(rgb_lip)
+    np.testing.assert_allclose(np.asarray(g_win), np.asarray(g_full),
+                               rtol=1e-4, atol=1e-5)
