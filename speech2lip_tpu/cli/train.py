@@ -22,6 +22,9 @@ def main():
     parser.add_argument("--max-iters", type=int, default=None)
     args = parser.parse_args()
 
+    from speech2lip_tpu.parallel.distributed import initialize_if_needed
+    initialize_if_needed()
+
     from speech2lip_tpu.core.config import load_config
     from speech2lip_tpu.train.trainer import fit
 

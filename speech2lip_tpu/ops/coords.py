@@ -13,15 +13,22 @@ import jax
 import jax.numpy as jnp
 
 
-def get_coords(width: int, height: int, dtype=jnp.float32) -> jnp.ndarray:
+def get_coords(width: int, height: int, dtype=jnp.float32,
+               noise_key=None, raw_noise_std: float = 0.0) -> jnp.ndarray:
     """[H*W, 2] grid of (u, v) in [0, 1]; u varies fastest along width.
 
-    Matches reference rendering.py:9-28 (torch.linspace + meshgrid 'ij').
+    Matches reference rendering.py:9-28 (torch.linspace + meshgrid 'ij');
+    optional gaussian uv jitter (the add_noise_uv augmentation, :24-27) with
+    an explicit PRNG key.
     """
     x = jnp.linspace(0.0, 1.0, width, dtype=dtype)
     y = jnp.linspace(0.0, 1.0, height, dtype=dtype)
     u, v = jnp.meshgrid(x, y, indexing="xy")  # each [H, W]
-    return jnp.stack([u, v], axis=-1).reshape(-1, 2)
+    coords = jnp.stack([u, v], axis=-1).reshape(-1, 2)
+    if noise_key is not None and raw_noise_std > 0:
+        coords = coords + raw_noise_std * jax.random.normal(
+            noise_key, coords.shape, dtype)
+    return coords
 
 
 def ensemble_coords(coords: jnp.ndarray, width: int, height: int,

@@ -72,6 +72,8 @@ class StepStatics:
     face_bbox: Tuple[int, int, int, int] = (0, 0, 96, 96)  # x, y, x2, y2
     ensemble: bool = True
     window: Optional[Tuple[int, int, int, int]] = None  # validated warp win
+    add_noise_uv: bool = False      # gaussian uv jitter (training.py:259)
+    add_noise_audio: bool = False   # gaussian audio-code noise (training.py:213-216)
 
 
 def render_lip_ensemble(params, audio: jnp.ndarray, t_indices: jnp.ndarray,
@@ -81,9 +83,17 @@ def render_lip_ensemble(params, audio: jnp.ndarray, t_indices: jnp.ndarray,
     audio: [B, 16, 29]; returns [B, lip_h, lip_w, 3].
     """
     b = audio.shape[0]
+    key, k_uv, k_audio = jax.random.split(key, 3)
     codes = tf.encode_audio(params, audio)
+    if st.add_noise_audio:
+        # reference adds std-0.01 noise to the per-ray audio code
+        # (training.py:213-216; accumulation across ensemble offsets there is
+        # a reference quirk — applied once per frame here)
+        codes = codes + 0.01 * jax.random.normal(k_audio, codes.shape)
     base, skip = batched_frame_feature(params, codes, t_indices)
-    coords = get_coords(st.lip_w, st.lip_h)                  # [N, 2]
+    coords = get_coords(st.lip_w, st.lip_h,
+                        noise_key=k_uv if st.add_noise_uv else None,
+                        raw_noise_std=0.5 / st.lip_w)        # [N, 2]
     if not st.ensemble:
         uv_emb = fourier_embed(coords, 10)
         out = tf.mlp_trunk(params, uv_emb[None], base[:, None, :],

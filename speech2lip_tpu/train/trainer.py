@@ -65,6 +65,8 @@ def build_statics(cfg: Dict[str, Any], ds: LipDataset,
         face_bbox=bbox,
         ensemble=bool(tr["use_local_ensemble"]),
         window=_warp_window(cfg, ds),
+        add_noise_uv=bool(tr.get("add_noise_uv", False)),
+        add_noise_audio=bool(tr.get("add_noise_audio", False)),
     )
 
 

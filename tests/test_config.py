@@ -39,3 +39,19 @@ def test_repo_may_config_loads():
     assert cfg["data"]["width"] == 120
     assert cfg["data"]["height"] == 80
     assert cfg["model"]["MLP_version"] == "v2"
+
+
+def test_factory_registry(tmp_path):
+    import numpy as np
+    from speech2lip_tpu.core import factory
+    from speech2lip_tpu.core.config import default_config
+    from speech2lip_tpu.data.synthetic import make_synthetic_tree, synthetic_config
+    geo = make_synthetic_tree(str(tmp_path), n_frames=8, face=64,
+                              lip_h=32, lip_w=32)
+    cfg = synthetic_config(str(tmp_path), geo)
+    ds = factory.get_dataset("train", cfg)
+    assert len(ds) == 7
+    params, unet_p, unet_s = factory.get_model(cfg)
+    assert params["fc_uv"]["w"].shape == (42, 256)
+    trainer_mod = factory.get_trainer(cfg)
+    assert hasattr(trainer_mod, "fit")
