@@ -183,3 +183,30 @@ def test_parsing_bbox():
     cm = np.zeros((32, 32), np.int32)
     cm[8:20, 10:25] = 1
     assert bbox_from_parsing(cm) == (10, 8, 25, 20)
+
+
+def test_s3fd_forward_and_decode(rng):
+    from speech2lip_tpu.models import s3fd
+    params = s3fd.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.uniform(0, 255, (1, 128, 128, 3)).astype(np.float32))
+    outs = s3fd.apply(params, x)
+    assert len(outs) == 6
+    # stride-4 head: 128/4 = 32 cells after padding quirks (fc6 pad 3)
+    cls0, reg0 = outs[0]
+    assert cls0.shape[-1] == 2 and reg0.shape[-1] == 4
+    for (c, _), stride in zip(outs, (4, 8, 16, 32, 64, 128)):
+        assert abs(c.shape[1] - 128 // stride) <= 4
+    boxes = s3fd.decode_detections(outs, threshold=0.0)
+    assert boxes.shape[1] == 5
+    kept = s3fd.nms(boxes[:50], 0.3)
+    assert len(kept) <= 50
+
+
+def test_nms_suppresses_overlaps():
+    from speech2lip_tpu.models import s3fd
+    boxes = np.array([[0, 0, 10, 10, 0.9],
+                      [1, 1, 11, 11, 0.8],   # overlaps the first
+                      [50, 50, 60, 60, 0.7]], np.float32)
+    kept = s3fd.nms(boxes, 0.3)
+    assert len(kept) == 2
+    assert kept[0][4] == np.float32(0.9)

@@ -187,6 +187,35 @@ def convert_bisenet(sd):
 
 
 # ---------------------------------------------------------------------------
+# S3FD face detector (face_alignment s3fd state_dict names)
+# ---------------------------------------------------------------------------
+
+def convert_s3fd(sd):
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    params = {}
+    convs = ["conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1",
+             "conv3_2", "conv3_3", "conv4_1", "conv4_2", "conv4_3",
+             "conv5_1", "conv5_2", "conv5_3", "fc6", "fc7",
+             "conv6_1", "conv6_2", "conv7_1", "conv7_2"]
+    for name in convs:
+        params[name] = _conv2d(sd, name)
+    for src in ("conv3_3", "conv4_3", "conv5_3"):
+        params[src + "_l2"] = {"scale": _t(sd[f"{src}_norm.weight"])}
+    head_names = {  # face_alignment naming for the per-source heads
+        "conv3_3": ("conv3_3_norm_mbox_conf", "conv3_3_norm_mbox_loc"),
+        "conv4_3": ("conv4_3_norm_mbox_conf", "conv4_3_norm_mbox_loc"),
+        "conv5_3": ("conv5_3_norm_mbox_conf", "conv5_3_norm_mbox_loc"),
+        "fc7": ("fc7_mbox_conf", "fc7_mbox_loc"),
+        "conv6_2": ("conv6_2_mbox_conf", "conv6_2_mbox_loc"),
+        "conv7_2": ("conv7_2_mbox_conf", "conv7_2_mbox_loc"),
+    }
+    for src, (cname, rname) in head_names.items():
+        params[f"cls_{src}"] = _conv2d(sd, cname)
+        params[f"reg_{src}"] = _conv2d(sd, rname)
+    return params
+
+
+# ---------------------------------------------------------------------------
 # FAN 2D face-alignment network (face_alignment 2DFAN4 state_dict names)
 # ---------------------------------------------------------------------------
 
@@ -318,6 +347,9 @@ def main():
         alex = torch.load(sys.argv[2], map_location="cpu")
         lin = torch.load(sys.argv[3], map_location="cpu")
         ckpt.save(sys.argv[4], convert_lpips(alex, lin))
+    elif kind == "s3fd":
+        blob = torch.load(sys.argv[2], map_location="cpu")
+        ckpt.save(sys.argv[3], convert_s3fd(blob.get("state_dict", blob)))
     elif kind == "fan":
         blob = torch.load(sys.argv[2], map_location="cpu")
         sd = blob.get("state_dict", blob)
