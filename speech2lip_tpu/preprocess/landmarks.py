@@ -66,9 +66,12 @@ def detect_landmarks(fan_params, fan_state, image: np.ndarray,
 
 def run_step1(frames_dir: str, out_lms_dir: str, out_bbox_path: str,
               fan_params, fan_state, bisenet_params=None,
-              bisenet_state=None) -> Dict[str, np.ndarray]:
+              bisenet_state=None, s3fd_params=None) -> Dict[str, np.ndarray]:
     """Process a directory of frames → .lms files + face_bbox_dict.npy
-    (the STEP1 artifact contract)."""
+    (the STEP1 artifact contract).
+
+    Face bboxes come from (in preference order) the S3FD detector, the
+    BiSeNet parsing map, or the full frame."""
     import cv2
     os.makedirs(out_lms_dir, exist_ok=True)
     bbox_dict = {}
@@ -76,7 +79,16 @@ def run_step1(frames_dir: str, out_lms_dir: str, out_bbox_path: str,
     for fname in files:
         img = cv2.cvtColor(cv2.imread(os.path.join(frames_dir, fname)),
                            cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-        if bisenet_params is not None:
+        if s3fd_params is not None:
+            from speech2lip_tpu.models import s3fd
+            dets = s3fd.detect_faces(s3fd_params,
+                                     jnp.asarray(img * 255.0))
+            if len(dets):
+                bbox = tuple(int(v) for v in dets[0][:4])
+            else:
+                h, w = img.shape[:2]
+                bbox = (0, 0, w, h)
+        elif bisenet_params is not None:
             from speech2lip_tpu.models import bisenet
             classes = np.asarray(bisenet.parse_face(
                 bisenet_params, bisenet_state, jnp.asarray(img)))
