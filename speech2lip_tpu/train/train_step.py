@@ -74,6 +74,8 @@ class StepStatics:
     window: Optional[Tuple[int, int, int, int]] = None  # validated warp win
     add_noise_uv: bool = False      # gaussian uv jitter (training.py:259)
     add_noise_audio: bool = False   # gaussian audio-code noise (training.py:213-216)
+    compute_dtype: str = "float32"  # 'bfloat16' = mixed precision: fp32
+                                    # master params/Adam, bf16 forward/grads
 
 
 def render_lip_ensemble(params, audio: jnp.ndarray, t_indices: jnp.ndarray,
@@ -136,6 +138,9 @@ def _fuse_frame(params, unet_params, unet_state, rgb_lip, batch, coord,
         from speech2lip_tpu.parallel.mesh import pixel_sharded
         unet_in = pixel_sharded(unet_in, mesh)
     train_bn = not st.postnet_frozen
+    # the fp32 coord grid / box mask promote the blend back to fp32 in mixed
+    # mode — realign with the conv weights' dtype
+    unet_in = unet_in.astype(jax.tree.leaves(unet_params)[0].dtype)
     face, new_unet_state = unet_light.apply(unet_params, unet_state, unet_in,
                                             train=train_bn)
     return face, new_unet_state
@@ -153,6 +158,26 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
     b = batch["audio"].shape[0]
     t_idx = batch["index"].astype(jnp.float32)
 
+    if st.compute_dtype != "float32":
+        # mixed precision: cast params + image inputs; the cast's gradient
+        # upcasts back, so master params and Adam stay fp32
+        cd = jnp.dtype(st.compute_dtype)
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(cd)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+        params = dict(cast(params))
+        # the learned canonical depth drives geometry — keep it fp32
+        if "canonical_depth" in params:
+            params["canonical_depth"] = params["canonical_depth"].astype(
+                jnp.float32)
+        unet_params = cast(unet_params)
+        batch = {k: (v.astype(cd) if hasattr(v, "dtype")
+                     and v.dtype == jnp.float32
+                     and k not in ("coord", "coord_window", "euler", "trans",
+                                   "canonical_euler", "canonical_trans")
+                     else v)
+                 for k, v in batch.items()}
+
     if st.postnet_frozen:
         unet_params = jax.lax.stop_gradient(unet_params)
 
@@ -163,7 +188,9 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
     total = loss_rgb_lip
     loss_rgb_metric = loss_rgb_lip
     if st.use_perceptual:
-        lp = losses.perceptual_loss(frozen["lpips"], rgb_lip, batch["rgb"],
+        lp = losses.perceptual_loss(frozen["lpips"],
+                                    rgb_lip.astype(jnp.float32),
+                                    batch["rgb"].astype(jnp.float32),
                                     weight=st.w_perceptual)
         total = total + lp
         metrics["loss_perceptual_lip"] = lp
@@ -178,8 +205,9 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
     total = total + loss_rgb_face
     loss_rgb_metric = loss_rgb_metric + loss_rgb_face
     if st.use_perceptual:
-        lpf = losses.perceptual_loss(frozen["lpips"], face,
-                                     batch["rgb_face_ori"],
+        lpf = losses.perceptual_loss(frozen["lpips"],
+                                     face.astype(jnp.float32),
+                                     batch["rgb_face_ori"].astype(jnp.float32),
                                      weight=st.w_perceptual * st.w_post_fusion)
         total = total + lpf
         metrics["loss_perceptual_face"] = lpf
@@ -231,13 +259,15 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
             crops.append(crop)
         rgb_window = jnp.stack(crops, axis=1)  # [B, T, 96, 96, 3]
 
-        g_pos = losses.sync_window_to_syncnet_input(rgb_window)
+        g_pos = losses.sync_window_to_syncnet_input(
+            rgb_window.astype(jnp.float32))
         mel = jnp.transpose(batch["mel"], (0, 2, 3, 1))  # [B,80,16,1]
         a_pos, v_pos, _ = syncnet_mod.apply(sync_p, sync_s, mel, g_pos)
         sl_pos = losses.cosine_bce_loss(a_pos, v_pos, jnp.ones((b,)))
 
         # negative window comes in reference layout [B, 3, T, 96, 96]
-        neg = jnp.transpose(batch["rgb_window_neg"], (0, 2, 3, 4, 1))
+        neg = jnp.transpose(batch["rgb_window_neg"].astype(jnp.float32),
+                            (0, 2, 3, 4, 1))
         g_neg = losses.sync_window_to_syncnet_input(neg)
         a_neg, v_neg, _ = syncnet_mod.apply(sync_p, sync_s, mel, g_neg)
         sl_neg = losses.cosine_bce_loss(a_neg, v_neg, jnp.zeros((b,)))

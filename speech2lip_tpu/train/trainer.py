@@ -67,6 +67,7 @@ def build_statics(cfg: Dict[str, Any], ds: LipDataset,
         window=_warp_window(cfg, ds),
         add_noise_uv=bool(tr.get("add_noise_uv", False)),
         add_noise_audio=bool(tr.get("add_noise_audio", False)),
+        compute_dtype=str(tr.get("compute_dtype", "float32")),
     )
 
 

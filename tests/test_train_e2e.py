@@ -202,3 +202,32 @@ def test_2d_mesh_data_pixel_sharding(tree):
                           jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(metrics_1["loss"]), rtol=2e-4)
+
+
+def test_mixed_precision_train_step(tree):
+    """bf16 compute with fp32 master params descends and tracks the fp32
+    loss closely."""
+    import dataclasses
+    root, geo, cfg = tree
+    ds = LipDataset(root, "train", cfg)
+    params, unet_p, unet_s, frozen, st = _build(cfg, geo, ds)
+    st_bf16 = dataclasses.replace(st, compute_dtype="bfloat16")
+    opt = make_optimizer(cfg)
+    trainable = {"model": params, "unet": unet_p}
+    state = TrainState(params, unet_p, unet_s, opt.init(trainable),
+                       jnp.int32(0))
+    batch = stack_batch([ds.load_frame(0)])
+    batch = jax.tree.map(jnp.asarray, batch)
+    key = jax.random.PRNGKey(0)
+    loss32 = float(make_train_step(opt, st, frozen, donate=False)(
+        state, batch, key)[1]["loss"])
+    step16 = make_train_step(opt, st_bf16, frozen, donate=False)
+    s, m = step16(state, batch, key)
+    assert abs(float(m["loss"]) - loss32) / loss32 < 0.05
+    # params stay fp32 and still descend
+    assert jax.tree.leaves(s.params)[0].dtype == jnp.float32
+    losses = [float(m["loss"])]
+    for i in range(3):
+        s, m = step16(s, batch, jax.random.fold_in(key, i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
