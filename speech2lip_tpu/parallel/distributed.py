@@ -20,6 +20,9 @@ def initialize_if_needed():
     except RuntimeError:
         pass
     import os
-    if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
-            "JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "JAX_NUM_PROCESSES"):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # single-process despite env hints

@@ -1,0 +1,44 @@
+"""CLI smoke tests: train + infer end-to-end on a synthetic tree."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_train_and_infer_cli(tmp_path, monkeypatch):
+    import yaml
+    from speech2lip_tpu.data.synthetic import make_synthetic_tree, synthetic_config
+
+    root = str(tmp_path / "data")
+    geo = make_synthetic_tree(root, n_frames=12, face=64, lip_h=32, lip_w=32)
+    cfg = synthetic_config(root, geo)
+    cfg["training"].update({
+        "out_dir": str(tmp_path / "out"),
+        "checkpoint_every": 2, "backup_every": 2, "validate_every": -1,
+        "visualize_every": -1, "print_every": 1, "use_syncloss": False,
+    })
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from speech2lip_tpu.cli import train as train_cli
+    monkeypatch.setattr(sys, "argv",
+                        ["train", cfg_path, "--max-iters", "2"])
+    train_cli.main()
+    assert os.path.exists(os.path.join(cfg["training"]["out_dir"],
+                                       "model_2.ckpt"))
+
+    monkeypatch.chdir(tmp_path)
+    from speech2lip_tpu.cli import infer as infer_cli
+    monkeypatch.setattr(sys, "argv", ["infer", cfg_path, "--output_dir",
+                                      "smoke", "--batch", "2"])
+    infer_cli.main()
+    out_dir = str(tmp_path / "rendering_result" / "smoke" / "postfusion")
+    files = os.listdir(out_dir)
+    assert len(files) == cfg["data"]["val_split_frames"]
+    import cv2
+    img = cv2.imread(os.path.join(out_dir, files[0]))
+    assert img.shape == (geo["face"], geo["face"], 3)

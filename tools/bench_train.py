@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark (informational; bench.py is the driver's
+headline inference metric).
+
+Measures the full jitted train step at May geometry (500² face, 120×80 lip,
+all stage-1 losses) on the current backend, fp32 vs mixed precision, with
+the windowed-gradient composite path.
+"""
+
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from speech2lip_tpu.core.config import default_config
+    from speech2lip_tpu.data.synthetic import synthetic_batch
+    from speech2lip_tpu.data.windows import compute_warp_window
+    from speech2lip_tpu.models import lpips as lpips_mod
+    from speech2lip_tpu.models import syncnet as syncnet_mod
+    from speech2lip_tpu.models import talking_face as tfm
+    from speech2lip_tpu.models import unet_light
+    from speech2lip_tpu.train.train_step import (StepStatics, TrainState,
+                                                 make_optimizer,
+                                                 make_train_step)
+
+    face, lip_h, lip_w = 500, 80, 120
+    cfg = default_config()
+    cfg["model"]["canonical_depth_height"] = face
+    cfg["model"]["canonical_depth_width"] = face
+    raw, geo = synthetic_batch(1, face=face, lip_h=lip_h, lip_w=lip_w,
+                               with_sync=True)
+    box = tfm.expanded_lip_box(lip_h, lip_w, geo["lip_x"], geo["lip_y"])
+    window = compute_warp_window([raw["coord"][0]], box, face, face,
+                                 margin=16)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    params = tfm.init(keys[0], cfg)
+    unet_p, unet_s = unet_light.init(keys[1])
+    frozen = {"lpips": lpips_mod.init(keys[2]),
+              "syncnet": syncnet_mod.init(keys[3])}
+    opt = make_optimizer(cfg)
+    trainable = {"model": params, "unet": unet_p}
+    state0 = TrainState(params, unet_p, unet_s, opt.init(trainable),
+                        jnp.int32(0))
+    batch = jax.tree.map(jnp.asarray, raw)
+    stage1 = {k: v for k, v in batch.items()
+              if k not in ("mel", "audio_window", "coord_window",
+                           "rgb_window_neg")}
+
+    for cd in ("float32", "bfloat16"):
+        for sync_on, b, tag in ((False, stage1, "stage1"),
+                                (True, batch, "sync")):
+            st = StepStatics(
+                lip_h=lip_h, lip_w=lip_w, lip_x=geo["lip_x"],
+                lip_y=geo["lip_y"], face_h=face, face_w=face, focal=1200.0,
+                face_bbox=(50, 50, 450, 450), window=window,
+                sync_on=sync_on, postnet_frozen=sync_on, compute_dtype=cd)
+            step = make_train_step(opt, st, frozen, donate=False)
+            s, m = step(state0, b, jax.random.PRNGKey(1))
+            float(m["loss"])
+            t0 = time.perf_counter()
+            for i in range(5):
+                s, m = step(s, b, jax.random.fold_in(jax.random.PRNGKey(2), i))
+            float(m["loss"])
+            dt = (time.perf_counter() - t0) / 5
+            print(f"{tag:7s} {cd:9s}: {dt * 1000:7.1f} ms/step "
+                  f"({1 / dt:5.1f} steps/s/chip)")
+
+
+if __name__ == "__main__":
+    main()
