@@ -171,6 +171,7 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
             params["canonical_depth"] = params["canonical_depth"].astype(
                 jnp.float32)
         unet_params = cast(unet_params)
+        unet_state = cast(unet_state)  # eval-mode BN stats must match
         batch = {k: (v.astype(cd) if hasattr(v, "dtype")
                      and v.dtype == jnp.float32
                      and k not in ("coord", "coord_window", "euler", "trans",
@@ -261,7 +262,8 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
 
         g_pos = losses.sync_window_to_syncnet_input(
             rgb_window.astype(jnp.float32))
-        mel = jnp.transpose(batch["mel"], (0, 2, 3, 1))  # [B,80,16,1]
+        mel = jnp.transpose(batch["mel"].astype(jnp.float32),
+                            (0, 2, 3, 1))  # [B,80,16,1]
         a_pos, v_pos, _ = syncnet_mod.apply(sync_p, sync_s, mel, g_pos)
         sl_pos = losses.cosine_bce_loss(a_pos, v_pos, jnp.ones((b,)))
 
@@ -279,6 +281,11 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
     metrics["loss_rgb"] = loss_rgb_metric
     metrics["loss"] = total
     metrics["psnr"] = losses.psnr_from_mse(loss_rgb_metric)
+    if st.compute_dtype != "float32":
+        # master BN stats stay fp32 (a bf16 state would change the step's
+        # input signature and force a recompile every iteration)
+        new_unet_state = jax.tree.map(
+            lambda x: x.astype(jnp.float32), new_unet_state)
     return total, (metrics, new_unet_state)
 
 

@@ -7,7 +7,11 @@ all stage-1 losses) on the current backend, fp32 vs mixed precision, with
 the windowed-gradient composite path.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
