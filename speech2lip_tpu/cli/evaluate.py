@@ -1,0 +1,114 @@
+"""Evaluation CLI: the PSNR / SSIM / CPBD / LMD / Sync-score protocol.
+
+The reference names these metrics as its evaluation protocol without
+shipping a harness (reference README.md:101).  This CLI scores a rendered
+directory against ground truth:
+
+    python -m speech2lip_tpu.cli.evaluate --pred rendering_result/may/postfusion \
+        --gt dataset/may_face_crop_lip/ori_images_face [--offset N] \
+        [--lms-pred DIR --lms-gt DIR] [--config configs/may/may.yaml --sync]
+
+Prints one JSON line of metric values.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main():
+    p = argparse.ArgumentParser(description="Score rendered frames.")
+    p.add_argument("--pred", required=True, help="rendered frames dir")
+    p.add_argument("--gt", required=True, help="ground-truth frames dir")
+    p.add_argument("--offset", type=int, default=0,
+                   help="index of the first GT frame matching pred 00001.jpg")
+    p.add_argument("--lms-pred", help="landmarks dir for rendered frames")
+    p.add_argument("--lms-gt", help="landmarks dir for GT frames")
+    p.add_argument("--config", help="config (for the sync score)")
+    p.add_argument("--sync", action="store_true",
+                   help="compute the SyncNet confidence score")
+    p.add_argument("--max-frames", type=int, default=10000)
+    args = p.parse_args()
+
+    import cv2
+    import numpy as np
+    from speech2lip_tpu.train import metrics_eval as me
+
+    pred_files = sorted(f for f in os.listdir(args.pred)
+                        if f.endswith(".jpg"))[:args.max_frames]
+    gt_files = sorted(f for f in os.listdir(args.gt) if f.endswith(".jpg"))
+    psnrs, ssims, cpbds = [], [], []
+    for i, f in enumerate(pred_files):
+        pred = cv2.imread(os.path.join(args.pred, f)).astype(np.float64)
+        gt_name = gt_files[args.offset + i]
+        gt = cv2.imread(os.path.join(args.gt, gt_name)).astype(np.float64)
+        psnrs.append(me.psnr(gt, pred))
+        ssims.append(me.ssim(gt, pred))
+        cpbds.append(me.cpbd(pred))
+
+    out = {"n_frames": len(pred_files),
+           "psnr": float(np.mean(psnrs)),
+           "ssim": float(np.mean(ssims)),
+           "cpbd": float(np.mean(cpbds))}
+
+    if args.lms_pred and args.lms_gt:
+        lp, lg = [], []
+        for i, f in enumerate(pred_files):
+            lp.append(np.loadtxt(os.path.join(
+                args.lms_pred, f.replace(".jpg", ".lms"))))
+            lg.append(np.loadtxt(os.path.join(
+                args.lms_gt,
+                gt_files[args.offset + i].replace(".jpg", ".lms"))))
+        out["lmd"] = me.lmd(np.stack(lp), np.stack(lg))
+
+    if args.sync and args.config:
+        out.update(_sync_score(args))
+
+    print(json.dumps(out))
+
+
+def _sync_score(args):
+    """SyncNet confidence over the rendered clip (needs audio + config)."""
+    import cv2
+    import numpy as np
+    import jax
+    from speech2lip_tpu.core import checkpoint as ckpt
+    from speech2lip_tpu.core.config import load_config
+    from speech2lip_tpu.models import syncnet as syncnet_mod
+    from speech2lip_tpu.ops import audio_dsp
+    from speech2lip_tpu.train import metrics_eval as me
+    from speech2lip_tpu.train.losses import sync_window_to_syncnet_input
+
+    cfg = load_config(args.config)
+    root = cfg["data"]["path"]
+    wav = audio_dsp.load_wav(os.path.join(root, "audio", "audio.wav"))
+    mel = audio_dsp.melspectrogram(wav, cfg["data"].get("mel_fmin", 55.0)).T
+
+    sync_path = cfg["training"].get("syncnet_weights",
+                                    "models/syncnet_weights.ckpt")
+    sp, ss = syncnet_mod.init(jax.random.PRNGKey(0))
+    if os.path.exists(sync_path):
+        # converter saves the (params, state) tuple → restores as a 2-list
+        (sp, ss), _ = ckpt.load(sync_path, like=(sp, ss))
+
+    files = sorted(f for f in os.listdir(args.pred) if f.endswith(".jpg"))
+    frames = [cv2.resize(cv2.imread(os.path.join(args.pred, f)), (96, 96))
+              for f in files]
+    frames = np.stack(frames).astype(np.float32) / 255.0  # BGR already
+    t = len(frames) - 5
+    windows, mels = [], []
+    import jax.numpy as jnp
+    for i in range(t):
+        win = frames[i:i + 5][..., ::-1]  # feed as RGB; flip happens inside
+        windows.append(np.asarray(sync_window_to_syncnet_input(
+            jnp.asarray(win[None]))[0]))
+        mels.append(audio_dsp.crop_audio_window(mel, i + 2).T)
+    conf, offset = me.sync_confidence(sp, ss, np.stack(mels),
+                                      np.stack(windows))
+    return {"sync_conf": conf, "sync_offset": offset}
+
+
+if __name__ == "__main__":
+    main()

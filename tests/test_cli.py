@@ -42,3 +42,28 @@ def test_train_and_infer_cli(tmp_path, monkeypatch):
     import cv2
     img = cv2.imread(os.path.join(out_dir, files[0]))
     assert img.shape == (geo["face"], geo["face"], 3)
+
+
+def test_evaluate_cli(tmp_path, monkeypatch):
+    import cv2
+    import json
+    rng = np.random.default_rng(0)
+    pred = tmp_path / "pred"
+    gt = tmp_path / "gt"
+    pred.mkdir(); gt.mkdir()
+    for i in range(3):
+        img = (rng.uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+        cv2.imwrite(str(gt / f"{i + 1:05d}.jpg"), img)
+        noisy = np.clip(img + rng.normal(0, 5, img.shape), 0, 255)
+        cv2.imwrite(str(pred / f"{i + 1:05d}.jpg"), noisy.astype(np.uint8))
+    from speech2lip_tpu.cli import evaluate as eval_cli
+    import io, contextlib
+    monkeypatch.setattr(sys, "argv", ["evaluate", "--pred", str(pred),
+                                      "--gt", str(gt)])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        eval_cli.main()
+    out = json.loads(buf.getvalue())
+    assert out["n_frames"] == 3
+    assert 20 < out["psnr"] < 45
+    assert 0 < out["ssim"] <= 1
