@@ -12,6 +12,7 @@ tests/test_grid_sample.py).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -74,6 +75,51 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
     return top * (1.0 - wy) + bot * wy
+
+
+def grid_sample_onehot(src: jnp.ndarray, grid: jnp.ndarray,
+                       y_off: int, x_off: int, height: int,
+                       width: int) -> jnp.ndarray:
+    """Bilinear sampling of a SMALL source crop as two one-hot contractions.
+
+    TPUs execute per-element gathers at ~32 ns/sample; when the source fits
+    on-chip, the gather can instead be a [P, Hs] × [Hs, Ws·C] MXU matmul
+    (row selection+interp) followed by a VPU column blend — orders of
+    magnitude more parallel.  Used by the windowed post-fusion composite
+    where the source is the expanded-lip crop (~170² px).
+
+    Args:
+      src: [B, Hs, Ws, C] source crop = image[y_off:y_off+Hs, x_off:x_off+Ws].
+      grid: [B, P, 2] (x, y) in [-1, 1] normalized to the FULL image of size
+        (height, width), torch align_corners=False convention.
+    Returns:
+      [B, P, C], equal to grid_sample(full_image, grid) wherever all four
+      bilinear neighbors fall inside the crop (callers guarantee this for
+      the pixels they consume; other outputs are clamped-edge junk).
+    """
+    b, hs, ws, c = src.shape
+    ix = ((grid[..., 0] + 1.0) * width - 1.0) * 0.5 - x_off
+    iy = ((grid[..., 1] + 1.0) * height - 1.0) * 0.5 - y_off
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = (ix - x0)[..., None]
+    wy = (iy - y0)[..., None]
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, ws - 2)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, hs - 2)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hs), 2)
+    onehot_y = ((rows == y0[..., None]).astype(src.dtype) * (1.0 - wy)
+                + (rows == y0[..., None] + 1).astype(src.dtype) * wy)
+    # row gather+interp on the MXU: [B, P, Hs] @ [B, Hs, Ws*C]
+    g = jnp.einsum("bph,bhk->bpk", onehot_y,
+                   src.reshape(b, hs, ws * c),
+                   preferred_element_type=jnp.float32)
+    g = g.reshape(b, -1, ws, c)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ws), 2)
+    onehot_x = ((cols == x0[..., None]).astype(g.dtype) * (1.0 - wx)
+                + (cols == x0[..., None] + 1).astype(g.dtype) * wx)
+    return jnp.einsum("bpw,bpwc->bpc", onehot_x, g).astype(src.dtype)
 
 
 def warp_box_mask(grid: jnp.ndarray, box, height: int, width: int,

@@ -94,3 +94,26 @@ def test_windowed_blackaug_composite_matches_full(rng):
     g_win = jax.grad(lambda l: jnp.sum(out_win(l) ** 2))(rgb_lip)
     np.testing.assert_allclose(np.asarray(g_win), np.asarray(g_full),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_onehot_matches_gather(rng):
+    """One-hot-matmul sampling equals the gather sampler wherever all four
+    bilinear neighbors fall inside the crop."""
+    from speech2lip_tpu.ops.grid_sample import grid_sample, grid_sample_onehot
+    H = W = 64
+    y_off, x_off, hs, ws = 10, 14, 24, 30
+    img = rng.uniform(0, 1, (2, H, W, 3)).astype(np.float32)
+    src = img[:, y_off:y_off + hs, x_off:x_off + ws]
+    # sample points strictly interior to the crop (1px margin)
+    px = rng.uniform(x_off + 1, x_off + ws - 2, (2, 200)).astype(np.float32)
+    py = rng.uniform(y_off + 1, y_off + hs - 2, (2, 200)).astype(np.float32)
+    gx = (2 * px + 1) / W - 1
+    gy = (2 * py + 1) / H - 1
+    grid = np.stack([gx, gy], -1)
+
+    ref = grid_sample(jnp.asarray(img),
+                      jnp.asarray(grid)[:, :, None, :])[:, :, 0, :]
+    out = grid_sample_onehot(jnp.asarray(src), jnp.asarray(grid),
+                             y_off, x_off, H, W)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
