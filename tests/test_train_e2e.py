@@ -231,3 +231,28 @@ def test_mixed_precision_train_step(tree):
         s, m = step16(s, batch, jax.random.fold_in(key, i))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_renderer_window_paths_equal(tree):
+    """Renderer output with the windowed one-hot composite equals the
+    full-frame gather path."""
+    root, geo, cfg = tree
+    ds = LipDataset(root, "val", cfg)
+    params, unet_p, unet_s, frozen, st = _build(cfg, geo, ds)
+    from speech2lip_tpu.data.windows import compute_warp_window
+    from speech2lip_tpu.infer.renderer import Renderer
+    box = tf.expanded_lip_box(geo["lip_h"], geo["lip_w"],
+                              ds.lefttop_x, ds.lefttop_y)
+    coords = [ds._coord(i) for i in range(len(ds))]
+    window = compute_warp_window(coords, box, geo["face"], geo["face"])
+    batch = stack_batch([ds.load_frame(0), ds.load_frame(1)])
+    batch = jax.tree.map(jnp.asarray, batch)
+    r_full = Renderer(cfg, params, unet_p, unet_s, use_pallas=False,
+                      window=None)
+    r_win = Renderer(cfg, params, unet_p, unet_s, use_pallas=False,
+                     window=window)
+    out_full = r_full(batch, ds.lefttop_x, ds.lefttop_y)
+    out_win = r_win(batch, ds.lefttop_x, ds.lefttop_y)
+    np.testing.assert_allclose(np.asarray(out_win["face"]),
+                               np.asarray(out_full["face"]),
+                               rtol=1e-4, atol=1e-4)
