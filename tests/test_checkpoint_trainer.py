@@ -121,3 +121,19 @@ def test_async_save_and_check_weights(tmp_path):
     assert check_weights(t) == []
     bad = {"a": jnp.array([1.0, jnp.nan])}
     assert check_weights(bad) == ["a"]
+
+
+def test_metrics_writer(tmp_path):
+    import json
+    from speech2lip_tpu.core.metrics import MetricsWriter
+    w = MetricsWriter(str(tmp_path))
+    w.scalars(5, {"loss": jnp.float32(0.25), "skipme": "str"}, prefix="train/")
+    w.image(5, "panel", np.zeros((8, 8, 3), np.float32))
+    w.close()
+    lines = open(str(tmp_path / "metrics.jsonl")).read().strip().splitlines()
+    rec = json.loads(lines[0])
+    assert rec["it"] == 5 and rec["train/loss"] == 0.25
+    assert "train/skipme" not in rec
+    import os
+    assert any(f.startswith("panel_") for f in
+               os.listdir(str(tmp_path / "images")))
