@@ -50,7 +50,11 @@ def main():
         f"model_{args.model_iter}.ckpt" if args.model_iter else None)
     like = TrainState(params, unet_p, unet_s, None, jnp.int32(0))
     state, scalars = mgr.restore(like, name=name)
-    print(f"loaded checkpoint at it={scalars.get('it', 'fresh')}")
+    if not scalars:
+        print("WARNING: no checkpoint found in "
+              f"{cfg['training']['out_dir']} — rendering with RANDOM weights")
+    else:
+        print(f"loaded checkpoint at it={scalars.get('it')}")
 
     # compute + cache the warp window for the fast composite path
     window = cfg["data"].get("warp_window")

@@ -59,6 +59,8 @@ def main():
     p.add_argument("--center_y_ratio", type=float, default=1.02)
     p.add_argument("--canonical_idx", type=int, default=0)
     p.add_argument("--fps", type=float, default=25.0)
+    p.add_argument("--track_scale", type=float, default=1.0,
+                   help="scale factor on tracker iteration budgets")
     args = p.parse_args()
 
     import numpy as np
@@ -111,7 +113,15 @@ def main():
         lms = np.stack([np.loadtxt(os.path.join(root, "landmarks",
                                                 f.replace(".jpg", ".lms")))
                         for f in files]).astype(np.float32)[:, :, :2]
-        cfg = TrackerConfig(img_h=h, img_w=w)
+        ts = args.track_scale
+        cfg = TrackerConfig(
+            img_h=h, img_w=w,
+            iters_focal_pose=max(1, int(2000 * ts)),
+            iters_focal_idexp=max(1, int(2500 * ts)),
+            iters_pose=max(1, int(1500 * ts)),
+            iters_idexp=max(1, int(2000 * ts)),
+            iters_photo=max(1, int(71 * ts)),
+            iters_window=max(1, int(50 * ts)))
         tr = FaceTracker(assets, lms, cfg)
         focal = args.focal or tr.find_focal()
         track = tr.fit(float(focal), images=frames)
@@ -170,9 +180,13 @@ def main():
         np.save(os.path.join(root, "depth_face_canonical.npy"), depth)
         cv2.imwrite(os.path.join(root, "canonical_face_mask.jpg"),
                     face_mask.astype(np.uint8) * 255)
-        if head_mask is not None:
-            cv2.imwrite(os.path.join(root, "canonical_head_mask.jpg"),
-                        head_mask.astype(np.uint8) * 255)
+        if head_mask is None:
+            # no parsing weights: fall back to the mesh face mask so the
+            # dataset contract stays complete (BiSeNet refines this)
+            print("WARNING: no bisenet.ckpt; head mask = face mask")
+            head_mask = face_mask
+        cv2.imwrite(os.path.join(root, "canonical_head_mask.jpg"),
+                    head_mask.astype(np.uint8) * 255)
         print("canonical masks + depth written")
 
     if "crop_lip" in steps:

@@ -139,12 +139,17 @@ class LipDataset:
             if os.path.exists(bb):
                 self.face_bbox_dict = np.load(bb, allow_pickle=True).item()
 
-        n = self.aud.shape[0]
+        # frames available = min(audio windows, image files): the reference
+        # slices the file list by the audio-derived length and then sizes
+        # the dataset by the (possibly shorter) file list (:127-130)
+        n = min(self.aud.shape[0], len(self.files)) if mode != "test" \
+            else self.aud.shape[0]
         if mode == "train":
-            length = int(n * 0.9)
+            length = min(int(self.aud.shape[0] * 0.9), n)
             self._index_map = list(range(length))
         elif mode == "val":
             v = int(data_cfg.get("val_split_frames", max(1, n - int(n * 0.9))))
+            v = min(v, n)
             self._index_map = list(range(n - v, n))
         elif mode == "test":
             self._index_map = list(range(n))

@@ -100,8 +100,15 @@ class FaceTracker:
     def __init__(self, assets: bfm.BFMAssets, lms: np.ndarray,
                  cfg: TrackerConfig):
         """lms: [N, 68, 2] detected 2-D landmarks."""
+        import dataclasses
         self.assets = assets
         self.lms = jnp.asarray(lms, jnp.float32)
+        # parameter dims are a property of the loaded 3DMM assets, not of
+        # the config — override so any asset basis size works
+        cfg = dataclasses.replace(
+            cfg, id_dim=assets.base_id.shape[0],
+            exp_dim=assets.base_exp.shape[0],
+            tex_dim=assets.base_tex.shape[0])
         self.cfg = cfg
         self.cxy = (cfg.img_w / 2.0, cfg.img_h / 2.0)
 

@@ -188,7 +188,9 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
                                            weight=st.w_photometric)
     total = loss_rgb_lip
     loss_rgb_metric = loss_rgb_lip
-    if st.use_perceptual:
+    # AlexNet-LPIPS needs ≥ ~32px inputs; tiny lip configs keep the face
+    # perceptual term and skip the lip one (the reference would crash here)
+    if st.use_perceptual and min(st.lip_h, st.lip_w) >= 32:
         lp = losses.perceptual_loss(frozen["lpips"],
                                     rgb_lip.astype(jnp.float32),
                                     batch["rgb"].astype(jnp.float32),
