@@ -256,3 +256,17 @@ def test_renderer_window_paths_equal(tree):
     np.testing.assert_allclose(np.asarray(out_win["face"]),
                                np.asarray(out_full["face"]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_renderer_deterministic(tree):
+    """Same batch twice -> bit-identical frames (no hidden RNG at eval)."""
+    root, geo, cfg = tree
+    ds = LipDataset(root, "val", cfg)
+    params, unet_p, unet_s, frozen, st = _build(cfg, geo, ds)
+    from speech2lip_tpu.infer.renderer import Renderer
+    r = Renderer(cfg, params, unet_p, unet_s, use_pallas=False)
+    batch = stack_batch([ds.load_frame(0)])
+    batch = jax.tree.map(jnp.asarray, batch)
+    a = np.asarray(r(batch, ds.lefttop_x, ds.lefttop_y)["face"])
+    b = np.asarray(r(batch, ds.lefttop_x, ds.lefttop_y)["face"])
+    np.testing.assert_array_equal(a, b)
