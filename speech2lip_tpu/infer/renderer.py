@@ -58,8 +58,8 @@ def render_lip_batch(params, audio: jnp.ndarray, t_indices: jnp.ndarray,
     coords = get_coords(width, height, dtype=compute_dtype)   # [N, 2]
     uv_emb = fourier_embed(coords, uv_multires)               # [N, 42]
     if use_pallas:
-        from speech2lip_tpu.ops.pallas.fused_mlp import fused_mlp
-        out = jax.vmap(lambda b, s: fused_mlp(params, uv_emb, b, s))(base, skip)
+        from speech2lip_tpu.ops.pallas.fused_mlp import fused_mlp_batched
+        out = fused_mlp_batched(params, uv_emb, base, skip)
     else:
         out = tf.mlp_trunk(params, uv_emb[None], base[:, None, :],
                            skip[:, None, :])

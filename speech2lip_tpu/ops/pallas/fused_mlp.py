@@ -65,8 +65,80 @@ def _kernel(uv_ref, w_uv_ref, b0_ref, w_skip_ref, bs_ref,
     for i in range(depth - skip_layer - 2):
         h = jnp.dot(h, w67_ref[i], preferred_element_type=jnp.float32) + b67_ref[i]
         h = jnp.maximum(h, 0.0)
-    out_ref[:] = (jnp.dot(h, w_out_ref[:], preferred_element_type=jnp.float32)
-                  + b_out_ref[:])
+    out = (jnp.dot(h, w_out_ref[:], preferred_element_type=jnp.float32)
+           + b_out_ref[:])
+    # out block is [tile, LANE] (single-frame) or [1, tile, LANE] (batched)
+    out_ref[...] = out.reshape(out_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "skip_layer"))
+def fused_mlp_batched(params, uv_emb: jnp.ndarray, base: jnp.ndarray,
+                      skip: jnp.ndarray, tile: int = DEFAULT_TILE,
+                      skip_layer: int = 4) -> jnp.ndarray:
+    """Batched-frames variant: shared [N, E] coords, per-frame [B, W]
+    base/skip features -> [B, N, out].  One kernel launch with grid
+    (B, N/tile); the per-frame entry/skip biases arrive as (1, W) blocks
+    indexed by the frame coordinate — no vmap, no per-frame relaunch."""
+    n, e = uv_emb.shape
+    b = base.shape[0]
+    width = params["fc_uv"]["w"].shape[1]
+    depth = len(params["trunk"])
+    out_ch = params["output"]["w"].shape[1]
+
+    n_pad = -(-n // tile) * tile
+    uv_p = _pad_to(_pad_to(uv_emb, LANE, 1), n_pad, 0).astype(jnp.float32)
+
+    w_uv = _pad_to(params["fc_uv"]["w"], LANE, 0).astype(jnp.float32)
+    b0 = (params["fc_uv"]["b"][None, :] + base).astype(jnp.float32)   # [B, W]
+    w_skip = _pad_to(params["fc_uv_skip"]["w"], LANE, 0).astype(jnp.float32)
+    bs = (params["fc_uv_skip"]["b"][None, :] + skip).astype(jnp.float32)
+
+    w01 = jnp.stack([params["trunk"][i]["w"] for i in range(skip_layer + 1)])
+    b01 = jnp.stack([params["trunk"][i]["b"]
+                     for i in range(skip_layer + 1)])[:, None, :]
+    w5 = params["trunk"][skip_layer + 1]["w"]
+    b5 = params["trunk"][skip_layer + 1]["b"][None, :]
+    w67 = jnp.stack([params["trunk"][i]["w"]
+                     for i in range(skip_layer + 2, depth)])
+    b67 = jnp.stack([params["trunk"][i]["b"]
+                     for i in range(skip_layer + 2, depth)])[:, None, :]
+    w_out = _pad_to(params["output"]["w"], LANE, 1).astype(jnp.float32)
+    b_out = _pad_to(params["output"]["b"][None, :], LANE, 1).astype(jnp.float32)
+
+    grid = (b, n_pad // tile)
+    row_spec = pl.BlockSpec((tile, LANE), lambda bb, i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    frame_vec = lambda arr: pl.BlockSpec((1, arr.shape[1]),
+                                         lambda bb, i: (bb, 0),
+                                         memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(arr.shape,
+                                    lambda bb, i: tuple(0 for _ in arr.shape),
+                                    memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, depth=depth, skip_layer=skip_layer),
+        grid=grid,
+        in_specs=[
+            row_spec,
+            full(w_uv), frame_vec(b0),
+            full(w_skip), frame_vec(bs),
+            full(w01), full(b01),
+            full(w5), full(b5),
+            full(w67), full(b67),
+            full(w_out), full(b_out),
+        ],
+        out_specs=pl.BlockSpec((1, tile, LANE), lambda bb, i: (bb, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, LANE), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_pad * width * (LANE * 2 + width * (depth + 1)
+                                           + LANE),
+            bytes_accessed=4 * (b * n_pad * LANE * 2
+                                + (depth + 3) * width * width),
+            transcendentals=0,
+        ),
+    )(uv_p, w_uv, b0, w_skip, bs, w01, b01, w5, b5, w67, b67, w_out, b_out)
+    return out[:, :n, :out_ch]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "skip_layer"))

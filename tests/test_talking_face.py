@@ -208,3 +208,19 @@ def test_audio_embed_path_init(rng):
     params = tf.init(jax.random.PRNGKey(2), cfg)
     # 64 * (1 + 2*6) = 832 (tf_nerf.py:243 comment)
     assert params["fc_audio"]["w"].shape == (832, 256)
+
+
+def test_fused_mlp_batched_matches_xla(params, rng):
+    from speech2lip_tpu.ops.pallas.fused_mlp import fused_mlp_batched
+    from jax.experimental.pallas import tpu as pltpu
+    uv = rng.uniform(0, 1, (300, 2)).astype(np.float32)
+    uv_emb = fourier_embed(jnp.asarray(uv), 10)
+    base = rng.standard_normal((3, 256)).astype(np.float32)
+    skip = rng.standard_normal((3, 256)).astype(np.float32)
+    ref = tf.mlp_trunk(params, uv_emb[None], jnp.asarray(base)[:, None, :],
+                       jnp.asarray(skip)[:, None, :])
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_mlp_batched(params, uv_emb, jnp.asarray(base),
+                                jnp.asarray(skip), tile=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
