@@ -62,8 +62,10 @@ def main():
         box = tf.expanded_lip_box(ds.lip_h, ds.lip_w,
                                   ds.lefttop_x, ds.lefttop_y,
                                   cfg["data"].get("expand_mask_divisor", 5))
-        coords = (ds._coord(i) for i in range(len(ds)))
-        window = compute_warp_window(coords, box, ds.face_h, ds.face_w)
+        from speech2lip_tpu.data.windows import cached_warp_window
+        window = cached_warp_window(
+            cfg["data"]["path"], box, ds.face_h, ds.face_w,
+            lambda: (ds._coord(i) for i in range(len(ds))))
         print(f"warp window: {window}")
 
     renderer = Renderer(cfg, state.params, state.unet_params,

@@ -62,6 +62,36 @@ def compute_warp_window(coords: Iterable[np.ndarray],
                          height, width, align)
 
 
+def cached_warp_window(root: str, box: Tuple[int, int, int, int],
+                       height: int, width: int, coords_iter_factory,
+                       margin: int = 8) -> Optional[Tuple[int, int, int, int]]:
+    """Compute-or-load the dataset's warp window, memoized at
+    <root>/warp_window.json (keyed by the box + geometry): real datasets
+    hold thousands of multi-MB coord grids, so the scan is worth one run."""
+    import json
+    import os
+    path = os.path.join(root, "warp_window.json")
+    key = {"box": list(box), "h": height, "w": width, "margin": margin}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            if rec.get("key") == key:
+                win = rec.get("window")
+                return tuple(win) if win is not None else None
+        except (ValueError, KeyError):
+            pass
+    win = compute_warp_window(coords_iter_factory(), box, height, width,
+                              margin=margin)
+    try:
+        with open(path, "w") as f:
+            json.dump({"key": key,
+                       "window": list(win) if win else None}, f)
+    except OSError:
+        pass
+    return win
+
+
 def validate_window(coords: Iterable[np.ndarray],
                     box: Tuple[int, int, int, int],
                     window: Tuple[int, int, int, int],

@@ -83,13 +83,14 @@ def _warp_window(cfg, ds: LipDataset):
     if win is None and cfg["data"].get("compute_warp_window", True):
         import os
         if os.path.isdir(ds.coords_dir) and len(ds) > 0:
-            from speech2lip_tpu.data.windows import compute_warp_window
+            from speech2lip_tpu.data.windows import cached_warp_window
             from speech2lip_tpu.models.talking_face import expanded_lip_box
             box = expanded_lip_box(ds.lip_h, ds.lip_w, ds.lefttop_x,
                                    ds.lefttop_y,
                                    cfg["data"].get("expand_mask_divisor", 5))
-            win = compute_warp_window((ds._coord(i) for i in range(len(ds))),
-                                      box, ds.face_h, ds.face_w, margin=8)
+            win = cached_warp_window(
+                ds.root, box, ds.face_h, ds.face_w,
+                lambda: (ds._coord(i) for i in range(len(ds))), margin=8)
     win = tuple(win) if win is not None else None
     _WINDOW_CACHE[id(ds)] = win
     return win

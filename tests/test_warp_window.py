@@ -117,3 +117,24 @@ def test_grid_sample_onehot_matches_gather(rng):
                              y_off, x_off, H, W)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_cached_warp_window(tmp_path, rng):
+    from speech2lip_tpu.data.windows import cached_warp_window
+    H = W = 48
+    box = (16, 32, 20, 36)
+    ys, xs = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+                         indexing="ij")
+    coord = np.stack([xs, ys], -1).astype(np.float32)
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return iter([coord])
+
+    w1 = cached_warp_window(str(tmp_path), box, H, W, factory)
+    w2 = cached_warp_window(str(tmp_path), box, H, W, factory)
+    assert w1 == w2 and len(calls) == 1       # second hit came from disk
+    # key change invalidates
+    w3 = cached_warp_window(str(tmp_path), (15, 32, 20, 36), H, W, factory)
+    assert len(calls) == 2
