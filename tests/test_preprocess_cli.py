@@ -85,28 +85,15 @@ def test_preprocess_cli_end_to_end(tmp_path, monkeypatch):
     wavfile.write(os.path.join(root, "audio", "audio.wav"), 16000,
                   (0.2 * np.sin(2 * np.pi * 300 * t) * 32767).astype(np.int16))
 
-    # --- run the CLI steps -------------------------------------------------
+    # --- run the CLI steps (unpatched: iteration budgets shrink through the
+    # CLI's own --track_scale flag; raster defaults handle the 64² world) ---
     from speech2lip_tpu.cli import preprocess as cli
-    from speech2lip_tpu.preprocess.tracker import TrackerConfig
-
-    # shrink iteration budgets + raster sizes for the test
-    small = TrackerConfig(id_dim=6, exp_dim=4, tex_dim=6, img_h=size,
-                          img_w=size, batch_size=3, iters_pose=150,
-                          iters_idexp=100, iters_photo=4, iters_window=3,
-                          raster_kwargs=dict(tile=16, max_faces_per_tile=128,
-                                             chunk=4))
-    monkeypatch.setattr("speech2lip_tpu.preprocess.tracker.TrackerConfig",
-                        lambda **kw: small)
-    import speech2lip_tpu.preprocess.steps as S
-    orig_depth = S.mesh_depth
-    monkeypatch.setattr(S, "mesh_depth", lambda *a, **kw: orig_depth(
-        *a, **{**kw, "tile": 16, "max_faces_per_tile": 128, "chunk": 4}))
 
     def run(step):
         monkeypatch.setattr(sys, "argv", [
             "preprocess", step, "--root", root, "--assets", assets_dir,
             "--crop_size", str(size), "--focal", str(focal),
-            "--lip_w", "16", "--lip_h", "12",
+            "--lip_w", "16", "--lip_h", "12", "--track_scale", "0.05",
             "--weights_dir", str(tmp_path / "nonexistent")])
         cli.main()
 
