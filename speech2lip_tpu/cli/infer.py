@@ -83,7 +83,8 @@ def main():
         faces = np.asarray(out["face"])
         for j, i in enumerate(idxs):
             bgr = cv2.cvtColor(np.clip(faces[j], 0, 1), cv2.COLOR_RGB2BGR)
-            cv2.imwrite(os.path.join(out_dir, f"{i + 1:05d}.jpg"), bgr * 255)
+            cv2.imwrite(os.path.join(out_dir, f"{i + 1:05d}.jpg"),
+                        (bgr * 255).round().astype(np.uint8))
     print(f"wrote {n} frames to {out_dir}")
 
 

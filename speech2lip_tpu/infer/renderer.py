@@ -97,7 +97,12 @@ def render_face_batch(params, unet_params, unet_state, batch: Dict[str, Any],
 
 
 class Renderer:
-    """Compiled renderer bound to a config's static geometry."""
+    """Compiled renderer bound to a config's static geometry.
+
+    The Pallas fused-MLP path is tried first off-CPU; if the kernel fails to
+    lower/compile on this backend (e.g. a Mosaic tiling regression), the
+    first call falls back to the pure-XLA graph — loudly, never fatally.
+    """
 
     def __init__(self, cfg: Dict[str, Any], params, unet_params, unet_state,
                  use_pallas: Optional[bool] = None,
@@ -111,14 +116,33 @@ class Renderer:
             window = d.get("warp_window")
         compute_dtype = jnp.dtype(cfg["model"].get("compute_dtype", "float32"))
         self._params = (params, unet_params, unet_state)
-        self._fn = jax.jit(functools.partial(
-            render_face_batch,
-            expand_divisor=int(d.get("expand_mask_divisor", 5)),
-            use_pallas=use_pallas, compute_dtype=compute_dtype,
-            window=tuple(window) if window is not None else None,
-        ), static_argnames=("lip_x", "lip_y", "lip_h", "lip_w"))
+        self.use_pallas = bool(use_pallas)
+
+        def make_fn(pallas: bool):
+            return jax.jit(functools.partial(
+                render_face_batch,
+                expand_divisor=int(d.get("expand_mask_divisor", 5)),
+                use_pallas=pallas, compute_dtype=compute_dtype,
+                window=tuple(window) if window is not None else None,
+            ), static_argnames=("lip_x", "lip_y", "lip_h", "lip_w"))
+
+        self._make_fn = make_fn
+        self._fn = make_fn(self.use_pallas)
 
     def __call__(self, batch: Dict[str, Any], lip_x: int, lip_y: int):
         p, up, us = self._params
-        return self._fn(p, up, us, batch, lip_x=int(lip_x), lip_y=int(lip_y),
-                        lip_h=self.lip_h, lip_w=self.lip_w)
+        kw = dict(lip_x=int(lip_x), lip_y=int(lip_y),
+                  lip_h=self.lip_h, lip_w=self.lip_w)
+        if not self.use_pallas:
+            return self._fn(p, up, us, batch, **kw)
+        try:
+            return self._fn(p, up, us, batch, **kw)
+        except Exception as e:  # kernel failed to lower/compile on this chip
+            import logging
+            logging.getLogger("speech2lip").warning(
+                "Pallas render path failed on backend %s (%s: %s); "
+                "falling back to the XLA graph permanently for this "
+                "Renderer", jax.default_backend(), type(e).__name__, e)
+            self.use_pallas = False
+            self._fn = self._make_fn(False)
+            return self._fn(p, up, us, batch, **kw)

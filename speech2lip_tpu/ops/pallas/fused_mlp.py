@@ -52,13 +52,18 @@ def _kernel(uv_ref, w_uv_ref, b0_ref, w_skip_ref, bs_ref,
     w67_ref:  [depth-skip_layer-2, W, W] remaining layers
     w_out:    [W, 128]  zero-padded output head
     """
+    # Per-frame biases arrive as (1, W) blocks (single-frame variant) or
+    # (1, 1, W) blocks (batched variant: trailing dims equal to the array
+    # dims keep Mosaic's 8x128 tiling rule satisfied); normalize to [1, W].
+    b0 = b0_ref[...].reshape(1, -1)
+    bs = bs_ref[...].reshape(1, -1)
     uv = uv_ref[:]
-    h = jnp.dot(uv, w_uv_ref[:], preferred_element_type=jnp.float32) + b0_ref[:]
+    h = jnp.dot(uv, w_uv_ref[:], preferred_element_type=jnp.float32) + b0
     for i in range(skip_layer + 1):
         h = jnp.dot(h, w01_ref[i], preferred_element_type=jnp.float32) + b01_ref[i]
         h = jnp.maximum(h, 0.0)
     h_skip = (jnp.dot(uv, w_skip_ref[:], preferred_element_type=jnp.float32)
-              + bs_ref[:])
+              + bs)
     h = jnp.concatenate([h_skip, h], axis=-1)
     h = jnp.dot(h, w5_ref[:], preferred_element_type=jnp.float32) + b5_ref[:]
     h = jnp.maximum(h, 0.0)
@@ -89,9 +94,12 @@ def fused_mlp_batched(params, uv_emb: jnp.ndarray, base: jnp.ndarray,
     uv_p = _pad_to(_pad_to(uv_emb, LANE, 1), n_pad, 0).astype(jnp.float32)
 
     w_uv = _pad_to(params["fc_uv"]["w"], LANE, 0).astype(jnp.float32)
-    b0 = (params["fc_uv"]["b"][None, :] + base).astype(jnp.float32)   # [B, W]
+    # [B, 1, W]: the singleton row axis makes the per-frame block (1, 1, W),
+    # whose last two dims equal the array dims — legal under Mosaic tiling.
+    b0 = (params["fc_uv"]["b"][None, :] + base).astype(jnp.float32)[:, None, :]
     w_skip = _pad_to(params["fc_uv_skip"]["w"], LANE, 0).astype(jnp.float32)
-    bs = (params["fc_uv_skip"]["b"][None, :] + skip).astype(jnp.float32)
+    bs = (params["fc_uv_skip"]["b"][None, :]
+          + skip).astype(jnp.float32)[:, None, :]
 
     w01 = jnp.stack([params["trunk"][i]["w"] for i in range(skip_layer + 1)])
     b01 = jnp.stack([params["trunk"][i]["b"]
@@ -108,8 +116,8 @@ def fused_mlp_batched(params, uv_emb: jnp.ndarray, base: jnp.ndarray,
     grid = (b, n_pad // tile)
     row_spec = pl.BlockSpec((tile, LANE), lambda bb, i: (i, 0),
                             memory_space=pltpu.VMEM)
-    frame_vec = lambda arr: pl.BlockSpec((1, arr.shape[1]),
-                                         lambda bb, i: (bb, 0),
+    frame_vec = lambda arr: pl.BlockSpec((1, 1, arr.shape[2]),
+                                         lambda bb, i: (bb, 0, 0),
                                          memory_space=pltpu.VMEM)
     full = lambda arr: pl.BlockSpec(arr.shape,
                                     lambda bb, i: tuple(0 for _ in arr.shape),

@@ -23,18 +23,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(mesh_shape: Optional[Tuple[int, int]] = None,
-              axis_names: Tuple[str, str] = ("data", "pixel")) -> Mesh:
-    """Build a (data, pixel) mesh over all local devices.
+              axis_names: Tuple[str, str] = ("data", "pixel"),
+              devices=None) -> Mesh:
+    """Build a (data, pixel) mesh over ``devices`` (default: all local).
 
     Default shape: all devices on the data axis — the reference's pure-DP
-    regime (SURVEY.md §2.10).
+    regime (SURVEY.md §2.10). A mesh smaller than the device count is
+    allowed when ``mesh_shape`` is given: the first prod(mesh_shape)
+    devices are used.
     """
-    devices = jax.devices()
+    devices = list(jax.devices() if devices is None else devices)
     n = len(devices)
     if mesh_shape is None:
         mesh_shape = (n, 1)
-    if int(np.prod(mesh_shape)) != n:
-        raise ValueError(f"mesh_shape {mesh_shape} != {n} devices")
+    want = int(np.prod(mesh_shape))
+    if want > n:
+        raise ValueError(f"mesh_shape {mesh_shape} needs {want} devices, "
+                         f"have {n}")
+    devices = devices[:want]
     dev_array = np.asarray(devices).reshape(mesh_shape)
     return Mesh(dev_array, axis_names)
 
@@ -49,9 +55,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Device-put a host batch with the frame axis sharded over 'data'."""
+    """Assemble a host batch into a global array, frame axis over 'data'.
+
+    ``batch`` holds THIS PROCESS's frames (per-host slicing replaces the
+    reference's DistributedSampler, train.py:101-116). On a multi-host pod
+    each process contributes only its slice, so the global array must be
+    stitched from process-local shards — ``device_put`` of a host-global
+    array would be wrong there. With one process the local slice IS the
+    global batch and this reduces to a plain sharded transfer.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

