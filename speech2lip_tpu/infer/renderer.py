@@ -87,10 +87,15 @@ def render_face_batch(params, unet_params, unet_state, batch: Dict[str, Any],
                                batch["index"].astype(jnp.float32),
                                lip_h, lip_w, use_pallas=use_pallas,
                                compute_dtype=compute_dtype)
+    # composite in the compute dtype (the coord grid stays fp32 — sub-pixel
+    # warp positions need the mantissa)
+    cast = lambda x: x.astype(compute_dtype)
     unet_in, _, _ = tf.post_fusion_composite(
-        rgb_lip, batch["rgb_face_zero"], batch["rgb_face_ori"],
-        batch["mask_lip_canonical"], batch["coord"], lip_x, lip_y,
-        expand_divisor=expand_divisor, window=window)
+        cast(rgb_lip), cast(batch["rgb_face_zero"]),
+        cast(batch["rgb_face_ori"]), cast(batch["mask_lip_canonical"]),
+        batch["coord"], lip_x, lip_y,
+        expand_divisor=expand_divisor, window=window,
+        use_pallas=use_pallas)
     face, _ = unet_light.apply(unet_params, unet_state,
                                unet_in.astype(compute_dtype), train=False)
     return {"lip": rgb_lip, "face": face.astype(jnp.float32)}

@@ -266,14 +266,17 @@ def expanded_lip_box(lip_h: int, lip_w: int, lip_x: int, lip_y: int,
     return (lip_x - p, lip_x + lip_w + p, lip_y - p, lip_y + lip_h + 2 * p)
 
 
-def _sample_box_region(merged_canonical, grid_w, box, h: int, w: int):
+def _sample_box_region(merged_canonical, grid_w, box, h: int, w: int,
+                       use_pallas: bool = False):
     """Sample the warped image over the window.
 
     Only values whose bilinear footprint touches the expanded lip box are
     consumed (the blend multiplies by the box-coverage mask), so when the
     box + 1px halo is interior to the image, sampling runs through the
-    MXU one-hot contraction over the small crop (ops/grid_sample.
-    grid_sample_onehot) instead of a per-element gather."""
+    MXU one-hot contraction over the small crop — fully fused in VMEM via
+    the Pallas kernel (ops/pallas/window_sample, inference), or as XLA
+    einsums (ops/grid_sample.grid_sample_onehot, differentiable) — instead
+    of a per-element gather."""
     b = merged_canonical.shape[0]
     x0b, x1b, y0b, y1b = box
     if x0b - 1 >= 0 and y0b - 1 >= 0 and x1b + 1 <= w and y1b + 1 <= h:
@@ -282,7 +285,11 @@ def _sample_box_region(merged_canonical, grid_w, box, h: int, w: int):
                             (b, y1b + 1, x1b + 1, merged_canonical.shape[3]))
         bb, wh, ww, _ = grid_w.shape
         flat = grid_w.reshape(bb, wh * ww, 2)
-        out = grid_sample_onehot(src, flat, y0b - 1, x0b - 1, h, w)
+        if use_pallas:
+            from speech2lip_tpu.ops.pallas.window_sample import window_sample
+            out = window_sample(src, flat, y0b - 1, x0b - 1, h, w)
+        else:
+            out = grid_sample_onehot(src, flat, y0b - 1, x0b - 1, h, w)
         return out.reshape(bb, wh, ww, -1)
     return grid_sample(merged_canonical, grid_w, padding_mode="zeros")
 
@@ -291,7 +298,8 @@ def post_fusion_composite(rgb_lip, face_canonical, rgb_gt, mask_lip,
                           coord, lip_x: int, lip_y: int,
                           expand_divisor: int = 5,
                           blackaug_noise: Optional[tuple] = None,
-                          window: Optional[tuple] = None):
+                          window: Optional[tuple] = None,
+                          use_pallas: bool = False):
     """Composite the rendered lip into the observed-pose face.
 
     Mirrors post_fusion2_onlylip_light (tf_nerf.py:320-386) up to (but not
@@ -329,7 +337,8 @@ def post_fusion_composite(rgb_lip, face_canonical, rgb_gt, mask_lip,
         wy0, wx0, wh, ww = window
         grid_w = jax.lax.slice(coord, (0, wy0, wx0, 0),
                                (b, wy0 + wh, wx0 + ww, 2))
-        rgb_merged_w = _sample_box_region(merged_canonical, grid_w, box, h, w)
+        rgb_merged_w = _sample_box_region(merged_canonical, grid_w, box, h, w,
+                                          use_pallas=use_pallas)
         mask_w = warp_box_mask(grid_w, box, h, w).astype(rgb_merged_w.dtype)
         gt_w = jax.lax.slice(rgb_gt, (0, wy0, wx0, 0),
                              (b, wy0 + wh, wx0 + ww, 3))

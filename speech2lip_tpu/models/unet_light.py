@@ -84,3 +84,36 @@ def apply(params, state, x, train: bool = False):
 
     logits = snn.conv2d(params["outc"], u, padding=0)
     return logits, new_state
+
+
+def apply_infer_pallas(params, state, x, row_tile: int = 25):
+    """Inference-only forward through the fused Pallas conv kernels.
+
+    Each DoubleConv runs as two fused conv3x3+BN+ReLU kernels
+    (ops/pallas/conv_block) with the eval BatchNorm folded to per-channel
+    scale/bias; pooling/upsample/concat/1x1 stay XLA.  Numerics match
+    ``apply(train=False)`` to accumulation tolerance.
+    """
+    from speech2lip_tpu.ops.pallas.conv_block import (double_conv_infer,
+                                                      fold_bn)
+
+    def dc(name, v, rt):
+        p, s = params[name], state[name]
+        s1, b1 = fold_bn(p["bn1"], s["bn1"])
+        s2, b2 = fold_bn(p["bn2"], s["bn2"])
+        return double_conv_infer(v, p["conv1"]["w"], s1, b1,
+                                 p["conv2"]["w"], s2, b2, row_tile=rt)
+
+    x1 = dc("inc", x, row_tile)
+    x2 = dc("down1", snn.maxpool2d(x1), row_tile)
+    x3 = dc("down2", snn.maxpool2d(x2), row_tile)
+
+    u = snn.upsample_bilinear(x3, x2.shape[1], x2.shape[2])
+    u = jnp.concatenate([x2, u], axis=-1)
+    u = dc("up1", u, row_tile)
+
+    u = snn.upsample_bilinear(u, x1.shape[1], x1.shape[2])
+    u = jnp.concatenate([x1, u], axis=-1)
+    u = dc("up2", u, row_tile)
+
+    return snn.conv2d(params["outc"], u, padding=0)

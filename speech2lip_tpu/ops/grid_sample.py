@@ -110,10 +110,14 @@ def grid_sample_onehot(src: jnp.ndarray, grid: jnp.ndarray,
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hs), 2)
     onehot_y = ((rows == y0[..., None]).astype(src.dtype) * (1.0 - wy)
                 + (rows == y0[..., None] + 1).astype(src.dtype) * wy)
-    # row gather+interp on the MXU: [B, P, Hs] @ [B, Hs, Ws*C]
+    # row gather+interp on the MXU: [B, P, Hs] @ [B, Hs, Ws*C].  The [B, P,
+    # Ws·C] intermediate dominates the op's HBM traffic — accumulate it in
+    # the source dtype (each element mixes only two rows, so a bf16
+    # intermediate costs <=0.4% of pixel range on an already-bf16 pipeline)
+    acc = jnp.float32 if src.dtype == jnp.float32 else src.dtype
     g = jnp.einsum("bph,bhk->bpk", onehot_y,
                    src.reshape(b, hs, ws * c),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=acc)
     g = g.reshape(b, -1, ws, c)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ws), 2)

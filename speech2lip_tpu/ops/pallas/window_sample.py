@@ -1,0 +1,129 @@
+"""Fused windowed bilinear sampling kernel (Pallas/TPU).
+
+The post-fusion composite backward-warps the canonical face through the
+per-frame ``coord`` grid (reference tf_nerf.py:366-367).  The XLA
+formulation (ops/grid_sample.grid_sample_onehot) factors the bilinear
+gather into two one-hot contractions, which materializes [B, P, Hs] one-hot
+and [B, P, Ws·C] interpolation intermediates in HBM — ~10 GB of traffic per
+May-geometry batch and ~12 ms/step measured on v5e, the second-largest
+inference cost after the U-Net.
+
+This kernel fuses the whole sample per output tile in VMEM: the source crop
+(≈170² px) is VMEM-resident, row selection runs as two exact 0/1-indicator
+MXU matmuls (f32 accumulation), and the row/column interpolation happens in
+registers — nothing but the grid, the crop, and the output touches HBM
+(≈12 MB per batch, a ~800× traffic reduction).
+
+Semantics: identical to grid_sample_onehot (and therefore to
+``grid_sample(full_image, grid)`` wherever the bilinear footprint is inside
+the crop; callers guarantee this for consumed pixels).  Inference-only — the
+training step keeps the differentiable XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE = 1024
+
+
+def _kernel(grid_ref, src_ref, out_ref, *, hs, ws, height, width,
+            y_off, x_off, channels):
+    g = grid_ref[0]                                           # [T, 2] f32
+    ix = ((g[:, 0:1] + 1.0) * width - 1.0) * 0.5 - x_off      # [T, 1]
+    iy = ((g[:, 1:2] + 1.0) * height - 1.0) * 0.5 - y_off
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = ix - x0
+    wy = iy - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, ws - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, hs - 2)
+
+    hs_pad = src_ref.shape[2]
+    ws_pad = src_ref.shape[3]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, hs_pad), 1)
+    src_dt = src_ref.dtype
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, ws_pad), 1)
+    colw = ((cols == x0i).astype(jnp.float32) * (1.0 - wx)
+            + (cols == x0i + 1).astype(jnp.float32) * wx)     # [T, Ws] f32
+
+    outs = []
+    if src_dt == jnp.float32:
+        # exact path: 0/1 indicator matmuls, f32 row blend
+        ind0 = (rows == y0i).astype(src_dt)                   # [T, Hs] 0/1
+        ind1 = (rows == y0i + 1).astype(src_dt)
+        for ch in range(channels):
+            s = src_ref[0, ch]                                # [Hs, Ws]
+            g0 = jnp.dot(ind0, s, preferred_element_type=jnp.float32)
+            g1 = jnp.dot(ind1, s, preferred_element_type=jnp.float32)
+            gc = g0 * (1.0 - wy) + g1 * wy                    # [T, Ws] f32
+            outs.append(jnp.sum(colw * gc, axis=1, keepdims=True))
+    else:
+        # bf16 path: fold the row weights into one one-hot matrix — the
+        # weight quantization (<=2^-9 relative) is below the bf16 pixel
+        # quantum already on this path, and it halves the MXU work
+        rowy = ((rows == y0i).astype(jnp.float32) * (1.0 - wy)
+                + (rows == y0i + 1).astype(jnp.float32) * wy).astype(src_dt)
+        for ch in range(channels):
+            gc = jnp.dot(rowy, src_ref[0, ch],
+                         preferred_element_type=jnp.float32)  # [T, Ws]
+            outs.append(jnp.sum(colw * gc, axis=1, keepdims=True))
+    out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("y_off", "x_off", "height", "width",
+                                    "tile"))
+def window_sample(src: jnp.ndarray, grid: jnp.ndarray, y_off: int,
+                  x_off: int, height: int, width: int,
+                  tile: int = DEFAULT_TILE) -> jnp.ndarray:
+    """Bilinear-sample a source crop at P grid points, fused on-chip.
+
+    Args:
+      src:  [B, Hs, Ws, C] crop = image[y_off:y_off+Hs, x_off:x_off+Ws].
+      grid: [B, P, 2] (x, y) in [-1, 1] normalized to the FULL image of size
+        (height, width), torch align_corners=False convention.
+    Returns:
+      [B, P, C] in src.dtype.
+    """
+    b, hs, ws, c = src.shape
+    p = grid.shape[1]
+    hs_pad = -(-hs // 8) * 8
+    ws_pad = -(-ws // 128) * 128
+    p_pad = -(-p // tile) * tile
+
+    # [B, C, Hs, Ws]: channels become a cheap python loop in the kernel so
+    # no in-kernel minor-dim reshape is needed
+    src_t = jnp.transpose(src, (0, 3, 1, 2))
+    src_t = jnp.pad(src_t, ((0, 0), (0, 0), (0, hs_pad - hs),
+                            (0, ws_pad - ws)))
+    grid_p = jnp.pad(grid.astype(jnp.float32),
+                     ((0, 0), (0, p_pad - p), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, hs=hs, ws=ws, height=height, width=width,
+                          y_off=y_off, x_off=x_off, channels=c),
+        grid=(b, p_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, 2), lambda bb, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, hs_pad, ws_pad),
+                         lambda bb, i: (bb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda bb, i: (bb, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, p_pad, c), src.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p_pad * hs_pad * ws_pad * c * 2,
+            bytes_accessed=(grid_p.size * 4 + src_t.size * src.dtype.itemsize
+                            + b * p_pad * c * src.dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(grid_p, src_t)
+    return out[:, :p]

@@ -71,8 +71,30 @@ def test_fused_mlp_single_compiles_on_tpu():
     err = float(jnp.max(jnp.abs(out - ref)))
     assert err < 1e-3, f"fused kernel diverges from XLA trunk: {err}"
 
+def test_window_sample_compiles_on_tpu():
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+    from speech2lip_tpu.ops.grid_sample import grid_sample_onehot
+    from speech2lip_tpu.ops.pallas.window_sample import window_sample
+
+    rng = np.random.default_rng(0)
+    B, Hs, Ws, P, H, W = 4, 154, 170, 4096, 500, 500
+    y_off, x_off = 275, 165
+    src = jnp.asarray(rng.uniform(0, 1, (B, Hs, Ws, 3)).astype(np.float32))
+    gx = rng.uniform((x_off + 2) / W * 2 - 1, (x_off + Ws - 3) / W * 2 - 1,
+                     (B, P))
+    gy = rng.uniform((y_off + 2) / H * 2 - 1, (y_off + Hs - 3) / H * 2 - 1,
+                     (B, P))
+    grid = jnp.asarray(np.stack([gx, gy], -1).astype(np.float32))
+    ref = grid_sample_onehot(src, grid, y_off, x_off, H, W)
+    got = window_sample(src, grid, y_off, x_off, H, W)
+    err = float(jnp.max(jnp.abs(ref - got)))
+    assert err < 5e-3, f"window_sample diverges: {err}"
+
 
 if __name__ == "__main__":
     test_fused_mlp_batched_compiles_on_tpu()
     test_fused_mlp_single_compiles_on_tpu()
+    test_window_sample_compiles_on_tpu()
     print("TPU hardware smoke tests passed")

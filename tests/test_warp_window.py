@@ -138,3 +138,28 @@ def test_cached_warp_window(tmp_path, rng):
     # key change invalidates
     w3 = cached_warp_window(str(tmp_path), (15, 32, 20, 36), H, W, factory)
     assert len(calls) == 2
+
+
+def test_window_sample_kernel_matches_onehot_interpret():
+    """The fused Pallas window sampler equals the XLA one-hot sampler
+    (interpret mode on CPU; compiled equivalence runs in test_tpu_hw.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from speech2lip_tpu.ops.grid_sample import grid_sample_onehot
+    from speech2lip_tpu.ops.pallas.window_sample import window_sample
+
+    rng = np.random.default_rng(3)
+    B, Hs, Ws, P, H, W = 2, 20, 24, 64, 64, 64
+    y_off, x_off = 10, 8
+    src = jnp.asarray(rng.uniform(0, 1, (B, Hs, Ws, 3)).astype(np.float32))
+    gx = rng.uniform((x_off + 2) / W * 2 - 1, (x_off + Ws - 3) / W * 2 - 1,
+                     (B, P))
+    gy = rng.uniform((y_off + 2) / H * 2 - 1, (y_off + Hs - 3) / H * 2 - 1,
+                     (B, P))
+    grid = jnp.asarray(np.stack([gx, gy], -1).astype(np.float32))
+    ref = grid_sample_onehot(src, grid, y_off, x_off, H, W)
+    with pltpu.force_tpu_interpret_mode():
+        got = window_sample(src, grid, y_off, x_off, H, W, tile=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
