@@ -24,6 +24,9 @@ def main():
     parser.add_argument("--model_iter", type=str, default=None)
     parser.add_argument("--use_new_audio", action="store_true")
     parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--export_video", action="store_true",
+                        help="also mux the frames (+ audio.wav if present) "
+                             "into rendering_result/<out>/result.avi")
     args = parser.parse_args()
 
     import cv2
@@ -75,6 +78,7 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
 
     n = len(ds)
+    exported = [] if args.export_video else None
     for start in range(0, n, args.batch):
         idxs = list(range(start, min(start + args.batch, n)))
         batch = stack_batch([ds.load_frame(i) for i in idxs])
@@ -82,10 +86,24 @@ def main():
         out = renderer(batch, ds.lefttop_x, ds.lefttop_y)
         faces = np.asarray(out["face"])
         for j, i in enumerate(idxs):
-            bgr = cv2.cvtColor(np.clip(faces[j], 0, 1), cv2.COLOR_RGB2BGR)
+            rgb8 = (np.clip(faces[j], 0, 1) * 255).round().astype(np.uint8)
             cv2.imwrite(os.path.join(out_dir, f"{i + 1:05d}.jpg"),
-                        (bgr * 255).round().astype(np.uint8))
+                        cv2.cvtColor(rgb8, cv2.COLOR_RGB2BGR))
+            if exported is not None:
+                exported.append(rgb8)
     print(f"wrote {n} frames to {out_dir}")
+
+    if exported:
+        from speech2lip_tpu.preprocess.video_io import write_avi
+        audio = None
+        wav_path = os.path.join(cfg["data"]["path"], "audio", "audio.wav")
+        if os.path.exists(wav_path):
+            from scipy.io import wavfile
+            _, audio = wavfile.read(wav_path)
+        vid = os.path.join(os.path.dirname(out_dir), "result.avi")
+        write_avi(vid, exported, fps=cfg["data"].get("fps", 25.0),
+                  audio=audio)
+        print(f"wrote {vid}")
 
 
 if __name__ == "__main__":

@@ -42,10 +42,11 @@ def _read_frames(frames_dir):
 
 def main():
     p = argparse.ArgumentParser(description="Speech2Lip preprocessing")
-    p.add_argument("step", choices=["crop_face", "landmarks", "track", "warp",
-                                    "uv_mapping", "masks", "crop_lip",
-                                    "audio_features", "all"])
+    p.add_argument("step", choices=["extract", "crop_face", "landmarks",
+                                    "track", "warp", "uv_mapping", "masks",
+                                    "crop_lip", "audio_features", "all"])
     p.add_argument("--root", required=True, help="identity artifact tree")
+    p.add_argument("--video", help="source video file (extract)")
     p.add_argument("--raw_frames", help="raw video frames dir (crop_face)")
     p.add_argument("--crop_center", type=int, nargs=2, default=[930, 275])
     p.add_argument("--crop_size", type=int, default=500)
@@ -71,6 +72,23 @@ def main():
              ["landmarks", "track", "warp", "uv_mapping", "masks",
               "crop_lip", "audio_features"])
 
+    if args.step == "extract":
+        # video → ori_images/%05d.jpg + audio/audio.wav (reference STEP0
+        # input + extract_wav.py; ffmpeg when present, built-in fallback)
+        from speech2lip_tpu.preprocess.video_io import (extract_frames,
+                                                        extract_wav)
+        if not args.video:
+            raise SystemExit("extract requires --video")
+        os.makedirs(os.path.join(root, "audio"), exist_ok=True)
+        n, fps = extract_frames(args.video, os.path.join(root, "ori_images"))
+        try:
+            extract_wav(args.video, os.path.join(root, "audio", "audio.wav"))
+            audio_msg = "+ audio/audio.wav"
+        except ValueError as e:
+            audio_msg = f"(no audio extracted: {e})"
+        print(f"extracted {n} frames @ {fps:g} fps {audio_msg}")
+        return
+
     if args.step == "crop_face":
         from speech2lip_tpu.preprocess.steps import crop_face
         frames, files = _read_frames(args.raw_frames)
@@ -91,12 +109,19 @@ def main():
         if os.path.exists(bis_path):
             bis_tree, _ = ckpt.load_nested(bis_path)
             bis_params, bis_state = bis_tree["params"], bis_tree["state"]
+        # face detector preference: S3FD (the reference's detect_landmarks.py
+        # DSFD role) > BiSeNet parsing bbox > full frame
+        s3fd_params = None
+        s3fd_path = os.path.join(args.weights_dir, "s3fd.ckpt")
+        if os.path.exists(s3fd_path):
+            s3fd_params, _ = ckpt.load_nested(s3fd_path)
         run_step1(os.path.join(root, "ori_images_face"),
                   os.path.join(root, "landmarks"),
                   os.path.join(root, "face_bbox_dict.npy"),
                   fan_tree["params"], fan_tree["state"],
-                  bis_params, bis_state)
-        print("landmarks written")
+                  bis_params, bis_state, s3fd_params=s3fd_params)
+        print("landmarks written"
+              + (" (S3FD bboxes)" if s3fd_params is not None else ""))
 
     # steps below need the tracked params / assets — load lazily per step
     from speech2lip_tpu.preprocess import face_3dmm as bfm
