@@ -27,6 +27,15 @@ def main():
     parser.add_argument("--export_video", action="store_true",
                         help="also mux the frames (+ audio.wav if present) "
                              "into rendering_result/<out>/result.avi")
+    parser.add_argument("--change_pose", type=float, default=None,
+                        help="controllable pose: value assigned to one "
+                             "canonical euler/trans component "
+                             "(reference inference.py:59; see "
+                             "infer/pose_edit.py)")
+    parser.add_argument("--pose_edit", choices=["euler", "trans"],
+                        default="euler")
+    parser.add_argument("--pose_axis", type=int, default=0,
+                        help="which euler/trans component to edit (0..2)")
     args = parser.parse_args()
 
     import cv2
@@ -71,8 +80,23 @@ def main():
             lambda: (ds._coord(i) for i in range(len(ds))))
         print(f"warp window: {window}")
 
-    renderer = Renderer(cfg, state.params, state.unet_params,
-                        state.unet_state, window=window)
+    if args.change_pose is not None:
+        import functools
+        from speech2lip_tpu.infer.pose_edit import render_pose_edited_batch
+        fn = jax.jit(functools.partial(
+            render_pose_edited_batch,
+            lip_x=ds.lefttop_x, lip_y=ds.lefttop_y,
+            lip_h=ds.lip_h, lip_w=ds.lip_w,
+            focal=float(cfg["data"]["face_img_focal"]),
+            edit=args.pose_edit, axis=args.pose_axis,
+            value=float(args.change_pose)))
+        renderer = lambda batch, _x, _y: {"face": fn(
+            state.params, state.unet_params, state.unet_state, batch)}
+        print(f"pose edit: {args.pose_edit}[{args.pose_axis}] = "
+              f"{args.change_pose}")
+    else:
+        renderer = Renderer(cfg, state.params, state.unet_params,
+                            state.unet_state, window=window)
 
     out_dir = os.path.join("rendering_result", args.output_dir, "postfusion")
     os.makedirs(out_dir, exist_ok=True)

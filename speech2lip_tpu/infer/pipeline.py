@@ -56,12 +56,15 @@ def new_audio_frames(cfg: Dict[str, Any], state, ds, ds_params,
 
 
 class MultiSpeakerServer:
-    """Batched multi-identity serving: one compiled program, S identities.
+    """Batched multi-identity serving: one compiled program, S identities
+    (BASELINE config 5).
 
-    Per-identity parameters are stacked along a leading axis and the whole
-    render step is vmapped over it; a serving batch is (identity i, frame
-    batch i) pairs.  All identities must share geometry (lip/face sizes) —
-    per-identity lip positions are passed as padded static maxima.
+    Identities are grouped by lip paste offset (the offset is a static slice
+    position, so it must be uniform within a compiled program); within a
+    group the per-identity parameter pytrees are stacked along a leading
+    axis and the render step is ``vmap``-ed over (params, frame batch) — one
+    jitted call serves every identity of the group per step.  All identities
+    share geometry (lip/face sizes).
     """
 
     def __init__(self, cfg: Dict[str, Any], param_sets: List[tuple],
@@ -73,32 +76,64 @@ class MultiSpeakerServer:
         lip_h, lip_w = int(d["height"]), int(d["width"])
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
-        self.stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *param_sets)
-        self.lip_xy = jnp.asarray(lip_positions, jnp.int32)  # [S, 2]
+        self.n_identities = len(param_sets)
 
-        # NOTE: lip paste offsets must be uniform to remain static under
-        # vmap; serve identities grouped by offset, or use the dynamic path:
+        # identity groups: offset -> ordered list of identity ids
+        self.groups: Dict[tuple, List[int]] = {}
+        for i, (x, y) in enumerate(lip_positions):
+            self.groups.setdefault((int(x), int(y)), []).append(i)
+
+        # per-group stacked parameter pytrees
+        self._stacked = {
+            off: jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[param_sets[i] for i in ids])
+            for off, ids in self.groups.items()
+        }
+
         def render_one(params3, batch, lip_x, lip_y):
             p, up, us = params3
             return render_face_batch(
                 p, up, us, batch,
                 lip_x=lip_x, lip_y=lip_y, lip_h=lip_h, lip_w=lip_w,
-                use_pallas=False,  # vmap over pallas_call pending
+                use_pallas=False,  # vmap over the Pallas call adds a grid
+                                   # dim Mosaic hasn't been validated on here
                 window=window,
                 compute_dtype=jnp.bfloat16 if use_pallas else jnp.float32)
 
-        # group-by-offset compiled cache
         self._render_one = render_one
-        self._jitted = {}
+        # one compiled program per group: vmap over stacked identities
+        self._group_fns = {
+            off: jax.jit(jax.vmap(functools.partial(
+                render_one, lip_x=off[0], lip_y=off[1])))
+            for off in self.groups
+        }
+        self._single_fns = {}
+
+    def render_all(self, batches: List[Dict[str, Any]]):
+        """Serve every identity in one compiled call per offset group.
+
+        batches: per-identity frame batches (same frame-batch size B across
+        identities).  Returns a list of outputs indexed by identity.
+        """
+        if len(batches) != self.n_identities:
+            raise ValueError(f"need {self.n_identities} batches, "
+                             f"got {len(batches)}")
+        out: List[Any] = [None] * self.n_identities
+        for off, ids in self.groups.items():
+            stacked_batch = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[batches[i] for i in ids])
+            res = self._group_fns[off](self._stacked[off], stacked_batch)
+            for k, i in enumerate(ids):
+                out[i] = jax.tree.map(lambda x: x[k], res)
+        return out
 
     def render(self, identity: int, batch: Dict[str, Any]):
         """Render a frame batch for one identity (compiled per lip offset)."""
-        lip_x, lip_y = (int(self.lip_xy[identity, 0]),
-                        int(self.lip_xy[identity, 1]))
-        key = (lip_x, lip_y)
-        if key not in self._jitted:
+        off = next(o for o, ids in self.groups.items() if identity in ids)
+        if off not in self._single_fns:
             import functools
-            self._jitted[key] = jax.jit(functools.partial(
-                self._render_one, lip_x=lip_x, lip_y=lip_y))
-        params3 = jax.tree.map(lambda x: x[identity], self.stacked)
-        return self._jitted[key](params3, batch)
+            self._single_fns[off] = jax.jit(functools.partial(
+                self._render_one, lip_x=off[0], lip_y=off[1]))
+        k = self.groups[off].index(identity)
+        params3 = jax.tree.map(lambda x: x[k], self._stacked[off])
+        return self._single_fns[off](params3, batch)

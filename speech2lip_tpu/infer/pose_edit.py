@@ -39,6 +39,55 @@ def edited_rel_pose(canonical_euler, canonical_trans, edit: str, index: int,
     return t_new @ jnp.linalg.inv(t_can)
 
 
+def render_pose_edited_batch(params, unet_params, unet_state, batch,
+                             *, lip_x: int, lip_y: int, lip_h: int,
+                             lip_w: int, focal: float, edit: str,
+                             axis: int, value: float,
+                             compute_dtype=jnp.float32):
+    """Controllable inference: render the lip, paste into the canonical
+    face, forward-splat the canonical composite into an EDITED head pose
+    (one euler/trans component replaced by ``value``), then U-Net refine.
+
+    This is the working version of the reference's --change_pose surface
+    (inference.py:59,128,169): there the flag is parsed and passed down but
+    every consumer drops it — post_fusion2_onlylip ignores it on the
+    use_light_unet path every shipped config takes (tf_nerf.py:287-305), and
+    the dataset never stores it (someones_lip_dataset.py:19).  The intended
+    machinery lives in models/utils.py:171-273
+    (sample_rel_pose_from_can2obs + forward_warping_controllable, the
+    Forward-Warp CUDA consumer) — reproduced here with ops/splat.
+
+    batch: the standard sample dict (audio, index, rgb_face_zero,
+    mask_lip_canonical, canonical_euler, canonical_trans).
+    Returns [B, H, W, 3] pose-edited faces.
+    """
+    import jax
+    from speech2lip_tpu.infer.renderer import render_lip_batch
+    from speech2lip_tpu.models import talking_face as tf_model
+    from speech2lip_tpu.models import unet_light
+
+    rgb_lip = render_lip_batch(params, batch["audio"],
+                               batch["index"].astype(jnp.float32),
+                               lip_h, lip_w, compute_dtype=compute_dtype)
+    merged = tf_model.paste_lip(rgb_lip,
+                                batch["rgb_face_zero"].astype(rgb_lip.dtype),
+                                batch["mask_lip_canonical"].astype(
+                                    rgb_lip.dtype),
+                                lip_x, lip_y)
+    depth = params["canonical_depth"].astype(jnp.float32)
+
+    def one(img, can_euler, can_trans):
+        rel = edited_rel_pose(can_euler, can_trans, edit, axis, value)
+        return forward_warp_to_pose(img.astype(jnp.float32), depth, rel,
+                                    focal)
+
+    warped = jax.vmap(one)(merged, batch["canonical_euler"],
+                           batch["canonical_trans"])
+    face, _ = unet_light.apply(unet_params, unet_state,
+                               warped.astype(compute_dtype), train=False)
+    return face.astype(jnp.float32)
+
+
 def forward_warp_to_pose(canonical_img: jnp.ndarray,
                          canonical_depth: jnp.ndarray,
                          rel_pose: jnp.ndarray, focal: float) -> jnp.ndarray:

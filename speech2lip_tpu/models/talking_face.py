@@ -50,6 +50,17 @@ def init(key, cfg: Dict[str, Any], canonical_depth_init=None,
         depth_face_canonical.npy hole-filled by the mean and head-masked).
     """
     m = cfg["model"]
+    if m.get("MLP_version", "v2") != "v2":
+        # The reference declares MLP_version 'v1' in its base config
+        # (configs/face_simple_configs/default.yaml:37) but implements ONLY
+        # v2: tf_nerf.py builds pts_linears solely under the v2 branch
+        # (tf_nerf.py:146) and rgb_forward leaves `h` unbound otherwise
+        # (tf_nerf.py:251) — v1 crashes at the first forward there.  Pinned
+        # by tests/test_reference_parity.py::test_mlp_v1_is_dead_in_the_reference.
+        raise ValueError(
+            f"MLP_version={m['MLP_version']!r}: only 'v2' exists — the "
+            "reference's 'v1' flag value is dead config that crashes its "
+            "own forward pass")
     width = m["net_width"]
     depth = m["net_depth"]
     skips = list(m.get("skips", [4]))

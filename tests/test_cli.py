@@ -67,3 +67,44 @@ def test_evaluate_cli(tmp_path, monkeypatch):
     assert out["n_frames"] == 3
     assert 20 < out["psnr"] < 45
     assert 0 < out["ssim"] <= 1
+
+
+@pytest.mark.slow
+def test_infer_cli_change_pose(tmp_path, monkeypatch):
+    """--change_pose renders pose-edited frames through the CLI (the
+    reference parses this flag but drops it on the light-unet path;
+    VERDICT r1 next #10).  Edited output must differ from the standard
+    render."""
+    import cv2
+    import yaml
+    from speech2lip_tpu.data.synthetic import make_synthetic_tree, synthetic_config
+
+    root = str(tmp_path / "data")
+    geo = make_synthetic_tree(root, n_frames=8, face=64, lip_h=32, lip_w=32)
+    cfg = synthetic_config(root, geo)
+    cfg["training"].update({"out_dir": str(tmp_path / "out"),
+                            "validate_every": -1, "visualize_every": -1,
+                            "use_syncloss": False})
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    monkeypatch.chdir(tmp_path)
+    from speech2lip_tpu.cli import infer as infer_cli
+    monkeypatch.setattr(sys, "argv", ["infer", cfg_path, "--output_dir",
+                                      "plain", "--batch", "2"])
+    infer_cli.main()
+    monkeypatch.setattr(sys, "argv", ["infer", cfg_path, "--output_dir",
+                                      "edited", "--batch", "2",
+                                      "--change_pose", "0.25",
+                                      "--pose_edit", "euler",
+                                      "--pose_axis", "1"])
+    infer_cli.main()
+
+    plain = cv2.imread(str(tmp_path / "rendering_result" / "plain" /
+                           "postfusion" / "00001.jpg"))
+    edited = cv2.imread(str(tmp_path / "rendering_result" / "edited" /
+                            "postfusion" / "00001.jpg"))
+    assert plain is not None and edited is not None
+    assert edited.shape == plain.shape
+    assert not np.allclose(plain, edited)

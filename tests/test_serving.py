@@ -96,3 +96,48 @@ def test_pose_edit_forward_warp(rng):
     out2 = np.asarray(forward_warp_to_pose(jnp.asarray(img),
                                            jnp.asarray(depth), rel2, 40.0))
     assert not np.allclose(out2, out)
+
+
+def test_multispeaker_render_all_vmapped(rng):
+    """render_all serves every identity from ONE jitted vmapped call per
+    offset group and matches the per-identity path (VERDICT r1 next #8)."""
+    from speech2lip_tpu.core.config import default_config
+    from speech2lip_tpu.infer.pipeline import MultiSpeakerServer
+    from speech2lip_tpu.models import talking_face as tf
+    from speech2lip_tpu.models import unet_light
+
+    face, lip = 64, 32
+    cfg = default_config()
+    cfg["model"]["canonical_depth_height"] = face
+    cfg["model"]["canonical_depth_width"] = face
+    cfg["data"]["height"] = cfg["data"]["width"] = lip
+
+    param_sets = []
+    for s in range(3):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(s))
+        param_sets.append((tf.init(k1, cfg), *unet_light.init(k2)))
+
+    batch0, geo = synthetic_batch(2, face=face, lip_h=lip, lip_w=lip)
+    batches = []
+    for s in range(3):
+        b = dict(jax.tree.map(jnp.asarray, batch0))
+        b["audio"] = b["audio"] + 0.1 * s  # distinct inputs per identity
+        batches.append(b)
+
+    # two offset groups: identities 0+2 share an offset, 1 differs
+    positions = [(geo["lip_x"], geo["lip_y"]),
+                 (geo["lip_x"] - 2, geo["lip_y"] + 1),
+                 (geo["lip_x"], geo["lip_y"])]
+    srv = MultiSpeakerServer(cfg, param_sets, positions, use_pallas=False)
+    assert len(srv.groups) == 2
+    assert sorted(sum(srv.groups.values(), [])) == [0, 1, 2]
+
+    outs = srv.render_all(batches)
+    assert len(outs) == 3
+    for i in range(3):
+        ref = srv.render(i, batches[i])
+        np.testing.assert_allclose(np.asarray(outs[i]["face"]),
+                                   np.asarray(ref["face"]),
+                                   rtol=1e-5, atol=1e-5)
+    assert not np.allclose(np.asarray(outs[0]["face"]),
+                           np.asarray(outs[2]["face"]))
