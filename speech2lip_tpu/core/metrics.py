@@ -40,12 +40,19 @@ def setup_logger(out_dir: str, logfile: str = "train.log") -> logging.Logger:
 
 
 class MetricsWriter:
-    """Append-only JSONL scalar stream: {"it": N, "tag": ..., "value": ...}."""
+    """Append-only JSONL scalar stream: {"it": N, "tag": ..., "value": ...},
+    mirrored to a TensorBoard event file (the reference's SummaryWriter
+    surface, train.py:206-209) via core/tb_events — no TF dependency."""
 
-    def __init__(self, out_dir: str, name: str = "metrics.jsonl"):
+    def __init__(self, out_dir: str, name: str = "metrics.jsonl",
+                 tensorboard: bool = True):
         self.path = os.path.join(out_dir, name)
         os.makedirs(out_dir, exist_ok=True)
         self._f = open(self.path, "a") if is_main_process() else None
+        self._tb = None
+        if tensorboard and self._f is not None:
+            from speech2lip_tpu.core.tb_events import EventFileWriter
+            self._tb = EventFileWriter(os.path.join(out_dir, "tensorboard"))
 
     def scalars(self, it: int, values: Dict[str, Any], prefix: str = ""):
         if self._f is None:
@@ -58,6 +65,11 @@ class MetricsWriter:
                 continue
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k not in ("it", "t"):
+                    self._tb.scalar(int(it), k, v, wall_time=rec["t"])
+            self._tb.flush()
 
     def image(self, it: int, tag: str, img, out_subdir: str = "images"):
         """Dump a [H, W, 3] float image in [0,1] as jpg (the tensorboard
@@ -78,3 +90,5 @@ class MetricsWriter:
     def close(self):
         if self._f is not None:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -325,6 +325,73 @@ def make_train_step(optimizer: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_chunked_train_step(optimizer: optax.GradientTransformation,
+                            st: StepStatics, n_chunks: int,
+                            donate: bool = True):
+    """Per-ray-chunk optimizer stepping (reference training.py:404,559-561):
+    ``batch_rays < H·W`` splits each frame's pixel set into chunks with an
+    Adam step per chunk.
+
+    This regime only carries the lip photometric loss: the reference's
+    post-fusion / perceptual / sync / canonical-depth terms all reshape the
+    chunk to the FULL lip image (training.py:432) and crash when
+    batch_rays < H·W, so those flags are rejected by the caller.  Expressed
+    TPU-natively as a ``lax.scan`` over chunks inside one jitted program —
+    sequential parameter updates with no host round-trips.
+    """
+    n = st.lip_h * st.lip_w
+    assert n % n_chunks == 0, (n, n_chunks)
+    chunk = n // n_chunks
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], key):
+        b = batch["audio"].shape[0]
+        t_idx = batch["index"].astype(jnp.float32)
+        coords = get_coords(st.lip_w, st.lip_h)              # [N, 2]
+        rgb = batch["rgb"].reshape(b, n, 3)
+
+        def chunk_body(carry, inp):
+            params, opt_state = carry
+            ci, k = inp
+            sl = ci * chunk
+
+            def loss_fn(p):
+                codes = tf.encode_audio(p, batch["audio"])
+                base, skip = batched_frame_feature(p, codes, t_idx)
+                csl = jax.lax.dynamic_slice(coords, (sl, 0), (chunk, 2))
+                tgt = jax.lax.dynamic_slice(rgb, (0, sl, 0), (b, chunk, 3))
+                if st.ensemble:
+                    eps = (0.5 / st.lip_h) * jax.random.uniform(k, (b,)) / 2.0
+                    shifted, wts = jax.vmap(
+                        lambda e: ensemble_coords(csl, st.lip_w, st.lip_h,
+                                                  e))(eps)
+                    out = tf.mlp_trunk(p, fourier_embed(shifted, 10),
+                                       base[:, None, None, :],
+                                       skip[:, None, None, :])
+                    pred = jnp.sum(out * wts[..., None], axis=1)
+                else:
+                    pred = tf.mlp_trunk(p, fourier_embed(csl, 10)[None],
+                                        base[:, None, :], skip[:, None, :])
+                return losses.photometric_loss(pred, tgt,
+                                               weight=st.w_photometric)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_opt), loss
+
+        keys = jax.random.split(key, n_chunks)
+        (new_params, new_opt), chunk_losses = jax.lax.scan(
+            chunk_body, (state.params, state.opt_state),
+            (jnp.arange(n_chunks), keys))
+        loss_rgb = jnp.mean(chunk_losses)                    # /= times
+        metrics = {"loss": loss_rgb, "loss_rgb": loss_rgb,
+                   "psnr": losses.psnr_from_mse(loss_rgb)}
+        new_state = TrainState(new_params, state.unet_params,
+                               state.unet_state, new_opt, state.it + 1)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_optimizer(cfg) -> optax.GradientTransformation:
     """Adam + stepped LR decay (reference train.py:128,148-150).
 

@@ -150,6 +150,14 @@ def batch_iterator(ds: LipDataset, batch_size: int, shuffle: bool,
         rng.shuffle(order)
     order = order[proc_id::n_proc]
 
+    if len(order) < batch_size:
+        # an epoch that yields zero batches would make the outer loop spin
+        # forever (and strand prefetched samples in the native ring)
+        raise ValueError(
+            f"per-host batch_size={batch_size} exceeds this host's dataset "
+            f"slice ({len(order)} frames) — reduce training.batch_size or "
+            f"the device count")
+
     prefetcher = None
     if use_native and not (ds.use_syncloss and ds.mode == "train"):
         prefetcher = _native_prefetcher(ds)
@@ -244,7 +252,33 @@ def fit(cfg: Dict[str, Any], max_iters: Optional[int] = None,
     params, unet_p, unet_s, frozen = init_models(cfg, ds, tr.get("seed", 0))
     frozen = load_frozen_weights(cfg, frozen)
     opt = make_optimizer(cfg)
-    trainable = {"model": params, "unet": unet_p}
+
+    # per-ray-chunk stepping (reference training.py:404,559-561): active when
+    # batch_rays < H*W.  Only the lip photometric loss exists in that regime
+    # — the reference's other loss terms reshape the chunk to the full lip
+    # image (training.py:432) and crash, so reject those flags explicitly.
+    n_rays = ds.lip_h * ds.lip_w
+    batch_rays = int(tr.get("batch_rays", n_rays))
+    n_chunks = 1
+    if 0 < batch_rays < n_rays:
+        if n_rays % batch_rays != 0:
+            raise ValueError(f"batch_rays={batch_rays} must divide "
+                             f"H*W={n_rays}")
+        bad_flags = [f for f in ("use_post_fusion",)
+                     if cfg["model"].get(f)] + \
+                    [f for f in ("use_perceptual_loss", "use_syncloss",
+                                 "use_canonical_depth_loss_photo_v2")
+                     if tr.get(f)]
+        if bad_flags:
+            raise ValueError(
+                f"batch_rays={batch_rays} < H*W={n_rays} (per-chunk "
+                f"stepping) supports only the lip photometric loss; disable "
+                f"{bad_flags} (the reference crashes on this combination, "
+                f"training.py:432)")
+        n_chunks = n_rays // batch_rays
+
+    trainable = ({"model": params, "unet": unet_p} if n_chunks == 1
+                 else params)
     state = TrainState(params, unet_p, unet_s, opt.init(trainable),
                        jnp.int32(0))
 
@@ -262,7 +296,11 @@ def fit(cfg: Dict[str, Any], max_iters: Optional[int] = None,
     frozen_dev = replicate(frozen, mesh)
 
     statics = build_statics(cfg, ds, max(it, 0))
-    step_fn = make_train_step(opt, statics, frozen_dev)
+    if n_chunks > 1:
+        from speech2lip_tpu.train.train_step import make_chunked_train_step
+        step_fn = make_chunked_train_step(opt, statics, n_chunks)
+    else:
+        step_fn = make_train_step(opt, statics, frozen_dev)
     key = jax.random.PRNGKey(tr.get("seed", 0))
 
     t0 = time.time()
@@ -279,7 +317,7 @@ def fit(cfg: Dict[str, Any], max_iters: Optional[int] = None,
 
             # staging boundary: re-jit once (reference train.py:188-197)
             new_statics = build_statics(cfg, ds, it)
-            if new_statics != statics:
+            if new_statics != statics and n_chunks == 1:
                 logger.info("staging change at it=%d: sync_on=%s frozen=%s",
                             it, new_statics.sync_on, new_statics.postnet_frozen)
                 statics = new_statics
