@@ -55,3 +55,24 @@ def test_factory_registry(tmp_path):
     assert params["fc_uv"]["w"].shape == (42, 256)
     trainer_mod = factory.get_trainer(cfg)
     assert hasattr(trainer_mod, "fit")
+
+
+def test_all_identity_configs_load():
+    """Every shipped identity config loads through inherit_from with its
+    reference substring-dispatch constants made explicit (SURVEY §5 quirk)."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    expect = {
+        "may": {"canonical_idx": 0, "mel_fmin": 95.0,
+                "val_split_frames": 598, "expand_mask_divisor": 5},
+        "obama2": {"canonical_idx": 12, "mel_fmin": 55.0,
+                   "val_split_frames": 650, "expand_mask_divisor": 12},
+        "obama_adnerf": {"canonical_idx": 0, "mel_fmin": 55.0,
+                         "val_split_frames": 800, "expand_mask_divisor": 5,
+                         "mouth_center_y_ratio": 1.0},
+    }
+    for name, fields in expect.items():
+        cfg = load_config(os.path.join(here, "configs", name,
+                                       f"{name}.yaml"))
+        for k, v in fields.items():
+            assert cfg["data"][k] == v, (name, k)
+        assert cfg["model"]["MLP_version"] == "v2"
