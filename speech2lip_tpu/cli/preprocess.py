@@ -109,19 +109,25 @@ def main():
         if os.path.exists(bis_path):
             bis_tree, _ = ckpt.load_nested(bis_path)
             bis_params, bis_state = bis_tree["params"], bis_tree["state"]
-        # face detector preference: S3FD (the reference's detect_landmarks.py
-        # DSFD role) > BiSeNet parsing bbox > full frame
-        s3fd_params = None
+        # face detector preference: DSFD (the reference's own detector,
+        # detect_landmarks.py:38-40) > S3FD > BiSeNet parsing bbox > frame
+        dsfd_tree = s3fd_params = None
+        dsfd_path = os.path.join(args.weights_dir, "dsfd.ckpt")
+        if os.path.exists(dsfd_path):
+            tree, _ = ckpt.load_nested(dsfd_path)
+            dsfd_tree = (tree["params"], tree["state"])
         s3fd_path = os.path.join(args.weights_dir, "s3fd.ckpt")
-        if os.path.exists(s3fd_path):
+        if dsfd_tree is None and os.path.exists(s3fd_path):
             s3fd_params, _ = ckpt.load_nested(s3fd_path)
         run_step1(os.path.join(root, "ori_images_face"),
                   os.path.join(root, "landmarks"),
                   os.path.join(root, "face_bbox_dict.npy"),
                   fan_tree["params"], fan_tree["state"],
-                  bis_params, bis_state, s3fd_params=s3fd_params)
+                  bis_params, bis_state, s3fd_params=s3fd_params,
+                  dsfd=dsfd_tree)
         print("landmarks written"
-              + (" (S3FD bboxes)" if s3fd_params is not None else ""))
+              + (" (DSFD bboxes)" if dsfd_tree is not None else
+                 " (S3FD bboxes)" if s3fd_params is not None else ""))
 
     # steps below need the tracked params / assets — load lazily per step
     from speech2lip_tpu.preprocess import face_3dmm as bfm

@@ -55,10 +55,12 @@ def conv2d_init(key, in_ch: int, out_ch: int, kernel: Tuple[int, int],
     return p
 
 
-def conv2d(params, x, stride=(1, 1), padding="SAME"):
+def conv2d(params, x, stride=(1, 1), padding="SAME", dilation=(1, 1)):
     """x: [B, H, W, C]; kernel HWIO. ``padding`` may be int/pair/int-pairs."""
     if isinstance(stride, int):
         stride = (stride, stride)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     elif (isinstance(padding, tuple) and len(padding) == 2
@@ -66,6 +68,7 @@ def conv2d(params, x, stride=(1, 1), padding="SAME"):
         padding = ((padding[0], padding[0]), (padding[1], padding[1]))
     y = jax.lax.conv_general_dilated(
         x, params["w"], window_strides=stride, padding=padding,
+        rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if "b" in params:
         y = y + params["b"]

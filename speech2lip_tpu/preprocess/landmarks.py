@@ -66,12 +66,15 @@ def detect_landmarks(fan_params, fan_state, image: np.ndarray,
 
 def run_step1(frames_dir: str, out_lms_dir: str, out_bbox_path: str,
               fan_params, fan_state, bisenet_params=None,
-              bisenet_state=None, s3fd_params=None) -> Dict[str, np.ndarray]:
+              bisenet_state=None, s3fd_params=None,
+              dsfd=None) -> Dict[str, np.ndarray]:
     """Process a directory of frames → .lms files + face_bbox_dict.npy
     (the STEP1 artifact contract).
 
-    Face bboxes come from (in preference order) the S3FD detector, the
-    BiSeNet parsing map, or the full frame."""
+    Face bboxes come from (in preference order) the DSFD detector (the
+    reference's own choice, detect_landmarks.py:38-40; pass a
+    (params, state) pair), the S3FD detector, the BiSeNet parsing map, or
+    the full frame."""
     import cv2
     os.makedirs(out_lms_dir, exist_ok=True)
     bbox_dict = {}
@@ -79,7 +82,16 @@ def run_step1(frames_dir: str, out_lms_dir: str, out_bbox_path: str,
     for fname in files:
         img = cv2.cvtColor(cv2.imread(os.path.join(frames_dir, fname)),
                            cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-        if s3fd_params is not None:
+        if dsfd is not None:
+            from speech2lip_tpu.models import dsfd as dsfd_mod
+            dets = dsfd_mod.detect_faces(dsfd[0], dsfd[1],
+                                         jnp.asarray(img * 255.0))
+            if len(dets):
+                bbox = tuple(int(v) for v in dets[0][:4])
+            else:
+                h, w = img.shape[:2]
+                bbox = (0, 0, w, h)
+        elif s3fd_params is not None:
             from speech2lip_tpu.models import s3fd
             dets = s3fd.detect_faces(s3fd_params,
                                      jnp.asarray(img * 255.0))

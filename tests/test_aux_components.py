@@ -202,6 +202,89 @@ def test_s3fd_forward_and_decode(rng):
     assert len(kept) <= 50
 
 
+def test_dsfd_forward_and_decode(rng):
+    """DSFD (shallow backbone): 6 PAL2 sources at strides 4..128, decode +
+    NMS produce the (x1,y1,x2,y2,conf) contract of detect_landmarks.py."""
+    from speech2lip_tpu.models import dsfd
+    params, state = dsfd.init(jax.random.PRNGKey(0), depths=(1, 1, 1, 1))
+    x = jnp.asarray(rng.uniform(0, 255, (1, 128, 128, 3)).astype(np.float32))
+    outs = dsfd.apply(params, state, x)
+    assert len(outs) == 6
+    for (c, r), stride in zip(outs, (4, 8, 16, 32, 64, 128)):
+        assert c.shape[1] == max(128 // stride, 1)
+        assert c.shape[-1] == 2 and r.shape[-1] == 4
+        np.testing.assert_allclose(np.asarray(c).sum(-1), 1.0, atol=1e-5)
+    boxes = dsfd.decode_detections(outs, threshold=0.0)
+    assert boxes.shape[1] == 5
+    dets = dsfd.detect_faces(params, state, x[0], threshold=0.0)
+    assert dets.shape[1] == 5 and len(dets) <= len(boxes)
+
+
+def test_dsfd_converter_roundtrip(rng):
+    """Fake pip-face_detection-named state dict → converter → forward."""
+    import torch
+    from tools.convert_weights import convert_dsfd
+    from speech2lip_tpu.models import dsfd
+
+    torch.manual_seed(0)
+    sd = {}
+
+    def add_conv(name, cout, cin, k, bias=True):
+        sd[name + ".weight"] = torch.randn(cout, cin, k, k) * 0.05
+        if bias:
+            sd[name + ".bias"] = torch.randn(cout) * 0.05
+
+    def add_bn(name, c):
+        sd[name + ".weight"] = torch.rand(c) + 0.5
+        sd[name + ".bias"] = torch.randn(c) * 0.05
+        sd[name + ".running_mean"] = torch.randn(c) * 0.05
+        sd[name + ".running_var"] = torch.rand(c) + 0.5
+
+    def add_bottleneck(pre, cin, cmid, cout, down):
+        add_conv(pre + ".conv1", cmid, cin, 1, bias=False)
+        add_bn(pre + ".bn1", cmid)
+        add_conv(pre + ".conv2", cmid, cmid, 3, bias=False)
+        add_bn(pre + ".bn2", cmid)
+        add_conv(pre + ".conv3", cout, cmid, 1, bias=False)
+        add_bn(pre + ".bn3", cout)
+        if down:
+            add_conv(pre + ".downsample.0", cout, cin, 1, bias=False)
+            add_bn(pre + ".downsample.1", cout)
+
+    add_conv("layer1.0", 64, 3, 7, bias=False)
+    add_bn("layer1.1", 64)
+    add_bottleneck("layer1.4.0", 64, 64, 256, True)
+    add_bottleneck("layer2.0.0", 256, 128, 512, True)
+    add_bottleneck("layer3.0.0", 512, 256, 1024, True)
+    add_bottleneck("layer4.0.0", 1024, 512, 2048, True)
+    for name, c1, c2, c3 in (("layer5", 2048, 512, 512),
+                             ("layer6", 512, 128, 256)):
+        add_conv(name + ".0", c2, c1, 1, bias=False)
+        add_bn(name + ".1", c2)
+        add_conv(name + ".3", c3, c2, 3, bias=False)
+        add_bn(name + ".4", c3)
+    for name, ci, co in (("latlayer3", 2048, 1024), ("latlayer2", 1024, 512),
+                         ("latlayer1", 512, 256), ("smooth3", 1024, 1024),
+                         ("smooth2", 512, 512), ("smooth1", 256, 256)):
+        add_conv(name, co, ci, 1)
+    fems = ["cpm3_3", "cpm4_3", "cpm5_3", "cpm7", "cpm6_2", "cpm7_2"]
+    for i, (fem, cs) in enumerate(zip(fems, (256, 512, 1024, 2048, 512,
+                                             256))):
+        add_conv(fem + ".cpm1", 256, cs, 3)
+        add_conv(fem + ".cpm2", 256, cs, 3)
+        add_conv(fem + ".cpm3", 128, 256, 3)
+        add_conv(fem + ".cpm4", 128, 256, 3)
+        add_conv(fem + ".cpm5", 128, 128, 3)
+        add_conv(f"conf_pal2.{i}", 4 if i == 0 else 2, 512, 3)
+        add_conv(f"loc_pal2.{i}", 4, 512, 3)
+
+    params, state = convert_dsfd(sd)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)).astype(np.float32))
+    outs = dsfd.apply(params, state, x)
+    assert len(outs) == 6
+    assert outs[0][0].shape == (1, 16, 16, 2)
+
+
 def test_nms_suppresses_overlaps():
     from speech2lip_tpu.models import s3fd
     boxes = np.array([[0, 0, 10, 10, 0.9],

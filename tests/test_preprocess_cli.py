@@ -120,6 +120,22 @@ def test_preprocess_cli_end_to_end(tmp_path, monkeypatch):
                      allow_pickle=True).item()
     assert bboxes["00001.jpg"].shape == (5,)
 
+    # same step with the DSFD detector (the reference's own choice for
+    # face_bbox_dict.npy, detect_landmarks.py:38-40); shallow backbone
+    from speech2lip_tpu.models import dsfd as dsfd_mod
+    weights_dir2 = str(tmp_path / "weights_dsfd")
+    os.makedirs(weights_dir2)
+    ckpt_mod.save(os.path.join(weights_dir2, "fan.ckpt"),
+                  {"params": fan_p, "state": fan_s})
+    dsfd_p, dsfd_s = dsfd_mod.init(jax.random.PRNGKey(2),
+                                   depths=(1, 1, 1, 1))
+    ckpt_mod.save(os.path.join(weights_dir2, "dsfd.ckpt"),
+                  {"params": dsfd_p, "state": dsfd_s})
+    run("landmarks", weights_dir2)
+    bboxes = np.load(os.path.join(root, "face_bbox_dict.npy"),
+                     allow_pickle=True).item()
+    assert bboxes["00001.jpg"].shape == (5,)
+
     # restore ground-truth landmarks so the 3DMM fit downstream stays sane
     # (random FAN weights produce contract-valid but arbitrary points)
     for i in range(n):

@@ -216,6 +216,65 @@ def convert_s3fd(sd):
 
 
 # ---------------------------------------------------------------------------
+# DSFD (pip face_detection package's WIDERFace_DSFD_RES152.pth naming:
+# dsfd/face_ssd.py wraps torchvision resnet152 stages in nn.Sequential, so
+# layer1 = [conv1, bn1, relu, maxpool, resnet.layer1] and layer2..4 are
+# single-element Sequentials; layer5/layer6 are [conv,bn,relu]×2; FEM
+# modules are cpm3_3/cpm4_3/cpm5_3/cpm7/cpm6_2/cpm7_2 with cpm1..cpm5
+# branches; PAL2 heads are loc_pal2.<i>/conf_pal2.<i>.)
+# ---------------------------------------------------------------------------
+
+def convert_dsfd(sd):
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+
+    def conv_bn(conv_prefix, bn_prefix):
+        p, s = _bn(sd, bn_prefix)
+        return ({"conv": _conv2d(sd, conv_prefix, bias=False), "bn": p},
+                {"bn": s})
+
+    def bottleneck(prefix):
+        p, s = {}, {}
+        for i in (1, 2, 3):
+            p[f"c{i}"], s[f"c{i}"] = conv_bn(f"{prefix}.conv{i}",
+                                             f"{prefix}.bn{i}")
+        if f"{prefix}.downsample.0.weight" in sd:
+            p["down"], s["down"] = conv_bn(f"{prefix}.downsample.0",
+                                           f"{prefix}.downsample.1")
+        return p, s
+
+    params, state = {}, {}
+    params["stem"], state["stem"] = conv_bn("layer1.0", "layer1.1")
+    stage_prefixes = {1: "layer1.4", 2: "layer2.0", 3: "layer3.0",
+                      4: "layer4.0"}
+    for li, pre in stage_prefixes.items():
+        blocks_p, blocks_s = [], []
+        bi = 0
+        while f"{pre}.{bi}.conv1.weight" in sd:
+            bp, bs = bottleneck(f"{pre}.{bi}")
+            blocks_p.append(bp)
+            blocks_s.append(bs)
+            bi += 1
+        params[f"layer{li}"] = blocks_p
+        state[f"layer{li}"] = blocks_s
+    for name in ("layer5", "layer6"):
+        pa, sa = conv_bn(f"{name}.0", f"{name}.1")
+        pb, sb = conv_bn(f"{name}.3", f"{name}.4")
+        params[name] = {"a": pa, "b": pb}
+        state[name] = {"a": sa, "b": sb}
+    for mine, theirs in (("lat3", "latlayer3"), ("lat2", "latlayer2"),
+                         ("lat1", "latlayer1"), ("smooth3", "smooth3"),
+                         ("smooth2", "smooth2"), ("smooth1", "smooth1")):
+        params[mine] = _conv2d(sd, theirs)
+    fem_names = ["cpm3_3", "cpm4_3", "cpm5_3", "cpm7", "cpm6_2", "cpm7_2"]
+    for i, fem in enumerate(fem_names):
+        params[f"fem{i}"] = {f"cpm{j}": _conv2d(sd, f"{fem}.cpm{j}")
+                             for j in range(1, 6)}
+        params[f"cls{i}"] = _conv2d(sd, f"conf_pal2.{i}")
+        params[f"reg{i}"] = _conv2d(sd, f"loc_pal2.{i}")
+    return params, state
+
+
+# ---------------------------------------------------------------------------
 # FAN 2D face-alignment network (face_alignment 2DFAN4 state_dict names)
 # ---------------------------------------------------------------------------
 
@@ -350,6 +409,10 @@ def main():
     elif kind == "s3fd":
         blob = torch.load(sys.argv[2], map_location="cpu")
         ckpt.save(sys.argv[3], convert_s3fd(blob.get("state_dict", blob)))
+    elif kind == "dsfd":
+        blob = torch.load(sys.argv[2], map_location="cpu")
+        p, s = convert_dsfd(blob.get("state_dict", blob))
+        ckpt.save(sys.argv[3], {"params": p, "state": s})
     elif kind == "fan":
         blob = torch.load(sys.argv[2], map_location="cpu")
         sd = blob.get("state_dict", blob)
