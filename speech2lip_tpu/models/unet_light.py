@@ -86,6 +86,116 @@ def apply(params, state, x, train: bool = False):
     return logits, new_state
 
 
+def _pool_hcw(xh, h: int, w: int, row_tile: int):
+    """2×2 maxpool of a haloed HCW buffer -> haloed [*, h//2, C, w//2].
+
+    Rows pool as an elementwise max of row slices; the lane (width) pool
+    avoids stride-2 lane slicing (a Mosaic relayout) by selecting the
+    even/odd lanes with two one-hot matmuls on the MXU and maxing them."""
+    d = xh[:, 1:1 + h, :, :xh.shape[-1]]
+    d = jnp.maximum(d[:, 0::2], d[:, 1::2])
+    w2 = w // 2
+    wp = -(-w2 // 128) * 128
+    if wp == w2:
+        wp += 128
+    cols = jnp.arange(xh.shape[-1])[:, None]
+    outs = jnp.arange(wp)[None, :]
+    sel_even = (cols == 2 * outs).astype(d.dtype)
+    sel_odd = (cols == 2 * outs + 1).astype(d.dtype)
+    pooled = jnp.maximum(d @ sel_even, d @ sel_odd)
+    hp = -(-(h // 2) // row_tile) * row_tile
+    return jnp.pad(pooled, ((0, 0), (1, hp - h // 2 + 1), (0, 0), (0, 0)))
+
+
+def _upsample_hcw(xh, h: int, w: int, out_h: int, out_w: int,
+                  row_tile: int):
+    """Bilinear align-corners 2× upsample of a haloed HCW buffer, emitted
+    directly in haloed form.  Width interpolates on the MXU (lane-dim
+    matmul whose matrix carries the zero pad lanes); height interpolates
+    as a two-row gather + lerp (a dim-1 einsum is a transpose-heavy
+    contraction XLA handles badly in this layout)."""
+    d = xh[:, 1:1 + h, :, :w]
+    hp = -(-out_h // row_tile) * row_tile
+    wp = -(-out_w // 128) * 128
+    if wp == out_w:
+        wp += 128
+    mw = snn._align_corners_matrix(out_w, w, d.dtype).T  # [w, out_w]
+    mw = jnp.pad(mw, ((0, 0), (0, wp - out_w)))
+    y = d @ mw  # [B, h, C, wp]
+
+    # exact-2× align-corners structure: out[2k] = lerp(y[k-1], y[k]) and
+    # out[2k+1] = lerp(y[k], y[k+1]) — shifted slices + one interleave
+    # reshape on the major row dim; no gather (slow on this layout)
+    assert out_h == 2 * h
+    bsz, _, c, _ = y.shape
+    pos = jnp.arange(out_h, dtype=jnp.float32) * (h - 1) / (out_h - 1)
+    te = (pos[2::2] - jnp.arange(h - 1)).astype(d.dtype)[None, :, None,
+                                                        None]
+    to = (pos[1::2][:h - 1] - jnp.arange(h - 1)).astype(d.dtype)[
+        None, :, None, None]
+    even = jnp.concatenate(
+        [y[:, :1], (1 - te) * y[:, :h - 1] + te * y[:, 1:]], axis=1)
+    odd = jnp.concatenate(
+        [(1 - to) * y[:, :h - 1] + to * y[:, 1:], y[:, h - 1:]], axis=1)
+    up = jnp.stack([even, odd], axis=2).reshape(bsz, out_h, c, wp)
+    return jnp.pad(up, ((0, 0), (1, hp - out_h + 1), (0, 0), (0, 0)))
+
+
+def apply_infer_hcw(params, state, x, row_tile: int = 16):
+    """Inference forward through the haloed-HCW Pallas conv kernels
+    (ops/pallas/conv_hcw): every DoubleConv is two fused conv+BN+ReLU
+    kernel launches with full 128-lane MXU output; pool/upsample/concat
+    glue runs in the same [B, H, C, W] layout (upsample matrices emit the
+    halo directly).  Numerics match ``apply(train=False)`` to
+    accumulation tolerance.
+
+    x: [B, H, W, C] NHWC (the composite output) -> [B, H, W, n_classes].
+    """
+    from speech2lip_tpu.ops.pallas.conv_hcw import conv3x3_hcw, halo_pad
+    from speech2lip_tpu.ops.pallas.conv_block import fold_bn
+
+    b, h, w, cin = x.shape
+
+    def dc(name, vh, hh, ww, cpad=0, rt=None):
+        rt = rt or row_tile
+        p, s = params[name], state[name]
+        s1, b1 = fold_bn(p["bn1"], s["bn1"])
+        s2, b2 = fold_bn(p["bn2"], s["bn2"])
+        w1 = p["conv1"]["w"]
+        if cpad:
+            w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, cpad), (0, 0)))
+        vh = conv3x3_hcw(vh, w1, s1, b1, hh, ww, row_tile=rt)
+        return conv3x3_hcw(vh, p["conv2"]["w"], s2, b2, hh, ww,
+                           row_tile=rt)
+
+    # NHWC -> haloed HCW with the 3 input channels padded to a 16-sublane
+    # tile (cheap: the raw input is only H·W·3)
+    xh = jnp.transpose(x, (0, 1, 3, 2))
+    xh = jnp.pad(xh, ((0, 0), (0, 0), (0, 16 - cin), (0, 0)))
+    xh = halo_pad(xh, row_tile)
+
+    x1 = dc("inc", xh, h, w, cpad=16 - cin)
+    h2, w2 = h // 2, w // 2
+    x2 = dc("down1", _pool_hcw(x1, h, w, row_tile), h2, w2)
+    h3, w3 = h2 // 2, w2 // 2
+    x3 = dc("down2", _pool_hcw(x2, h2, w2, row_tile), h3, w3,
+            rt=min(8, row_tile))
+
+    u = _upsample_hcw(x3, h3, w3, h2, w2, row_tile)
+    u = jnp.concatenate([x2, u], axis=2)
+    u = dc("up1", u, h2, w2)
+
+    u = _upsample_hcw(u, h2, w2, h, w, row_tile)
+    u = jnp.concatenate([x1, u], axis=2)
+    u = dc("up2", u, h, w)
+
+    # 1×1 output conv in-layout, then transpose the tiny 3-channel result
+    d = u[:, 1:1 + h, :, :w]
+    wo = params["outc"]["w"][0, 0]          # [64, n_classes]
+    y = jnp.einsum("bhcw,cd->bhdw", d, wo)
+    return jnp.transpose(y, (0, 1, 3, 2)) + params["outc"]["b"]
+
+
 def apply_infer_pallas(params, state, x, row_tile: int = 25):
     """Inference-only forward through the fused Pallas conv kernels.
 

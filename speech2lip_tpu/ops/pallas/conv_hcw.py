@@ -1,0 +1,262 @@
+"""Fused 3×3 conv (+scale/bias+ReLU) Pallas kernel in haloed HCW layout.
+
+Second-generation U-Net conv kernel (the first, conv_block.py, kept the
+NHWC layout and lost to XLA: its dx taps were sublane-dim slices, each a
+Mosaic relayout).  This kernel lays activations out as **[B, H, C, W]** —
+width in lanes, channels in sublanes — so the 3×3 conv's structure maps
+directly onto the hardware:
+
+- dy taps are row offsets, folded into the contraction: each output row
+  group contracts a ``(P+2)·Cin``-long K dimension over its 3-row input
+  window, read as one aligned sublane slice;
+- dx taps are *lane* rolls, materialized once per tile into an
+  interleaved (window row, shift, ci) VMEM scratch so each output group
+  is a SINGLE [M, (P+2)·3·Cin] MXU contraction;
+- the MXU output dimension is ``P·Cout`` with ``P = 128 // Cout`` rows per
+  group — **full 128 output lanes even for Cout=64**, where plain XLA
+  NHWC convs idle half the MXU.  The banded (dy ∈ {-1,0,1}) weight
+  stacking is 75 % dense at P=2 and 100 % at P=1, against a 2×-wider MXU.
+
+I/O design (what killed the first draft of this kernel: XLA materialized
+two row-shifted copies of the input, ~3 GB of extra HBM traffic at 500²):
+
+- activations travel between layers in **haloed** form
+  ``[B, Hp+2, C, Wp]`` — one zero row above, ``Hp-H+1`` zero rows below,
+  zero lanes beyond W — so a row tile's input window ``[i·R, i·R+R+2)``
+  starts on an R-row boundary;
+- the same haloed array is passed to ``pallas_call`` **twice**: once with
+  R-row blocks and once with 2-row blocks picking up the window's tail —
+  two auto-pipelined streams over one HBM buffer, no copies;
+- the output (also haloed) is written by **manual async DMA** at the +1
+  row offset BlockSpecs cannot express, double-buffered across grid
+  steps; the kernel's row/lane masks re-establish the zero-halo invariant
+  (bottom pad rows compute to relu(bias) otherwise), and the first/last
+  programs DMA the single top/bottom halo rows from a zeroed scratch.
+
+The per-channel scale/bias epilogue folds the inference BatchNorm
+(conv_block.fold_bn) and the ReLU, so a U-Net DoubleConv is two kernel
+launches and nothing else.  Used by unet_light.apply_infer_hcw
+(reference cost center: 500² SimpleUnetLight,
+src/face_simple/models/SimpleUnetLight.py:82-111).
+
+Measured on v5e (batch 16, bf16): **2.0× XLA on the 500²×64→64 layers**
+(3.9 vs 7.6 ms) and parity-to-1.3× on the other U-Net shapes — but the
+composed U-Net still trails XLA's (47 vs 39 ms) because XLA absorbs the
+pool/upsample/concat glue into its conv fusions for free while this path
+pays ~12 ms for explicit glue.  Kept as an opt-in (apply_infer_hcw) until
+the glue is fused into the kernels; see TODO.md for the full analysis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def halo_pad(x, row_tile: int = 16):
+    """[B, H, C, W] -> haloed [B, Hp+2, C, Wp] with the zero-row/zero-lane
+    invariant conv3x3_hcw expects (Hp = H rounded up to row_tile, Wp = W
+    rounded up to 128 with at least one zero lane)."""
+    b, h, c, w = x.shape
+    wp = -(-w // 128) * 128
+    if wp == w:
+        wp += 128
+    hp = -(-h // row_tile) * row_tile
+    return jnp.pad(x, ((0, 0), (1, hp - h + 1), (0, 0), (0, wp - w)))
+
+
+def _pack_weights(w, p: int):
+    """w: [3, 3, Cin, Cout] -> lhs [M=P*Cout, K=(P+2)*3*Cin] with
+    lhs[r*Cout+co, (j*3+dx)*Cin+ci] = w[j-r, dx, ci, co] for 0<=j-r<=2 —
+    the K order matches the kernel's (window row, dx-shift, ci)
+    interleaved scratch."""
+    cin, cout = w.shape[2], w.shape[3]
+    zero = jnp.zeros((cout, cin), w.dtype)
+    rows = []
+    for r in range(p):
+        blocks = [w[j - r, dx].T if 0 <= j - r <= 2 else zero
+                  for j in range(p + 2) for dx in range(3)]
+        rows.append(jnp.concatenate(blocks, axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _conv_kernel(xa_ref, xb_ref, lhs_ref, sb_ref, out_ref,
+                 oscr_ref, sxi_ref, zrow_ref, sems, *,
+                 rows: int, h_valid: int, w_valid: int, cin: int,
+                 cout: int, p: int, relu: bool):
+    """One (batch, row-tile) program; output via manual double-buffered
+    DMA into the haloed out array (ANY memspace).
+
+    xa_ref: [1, rows, cin, wp]   input buffer rows [i*R, i*R+R)
+    xb_ref: [1, 2, cin, wp]      input buffer rows [i*R+R, i*R+R+2)
+    lhs_ref: [P*cout, (P+2)*3*cin] packed weights
+    sb_ref: [2, P*cout, 1] scale/bias rows (tiled over P)
+    out_ref: [B, Hp+2, cout, wp] in ANY/HBM
+    oscr_ref: [2, rows, cout, wp] VMEM out staging
+    sxi_ref: [rows+2, 3, cin, wp] VMEM interleaved shift scratch
+    zrow_ref: [1, cout, wp] VMEM zero slab for the halo rows
+    sems: DMA semaphores [3]
+    """
+    wp = out_ref.shape[-1]
+    k = (p + 2) * 3 * cin
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+    t = b * nb + i
+    slot = jax.lax.rem(t, 2)
+
+    scale = sb_ref[0]
+    bias = sb_ref[1]
+    m = p * cout
+    sub_row = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) // cout
+    lane_ok = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1) < w_valid
+
+    # wait for the DMA that used this slot two programs ago
+    @pl.when(t >= 2)
+    def _():
+        pltpu.make_async_copy(
+            oscr_ref.at[slot],
+            out_ref.at[b, pl.ds(1 + i * rows, rows)],
+            sems.at[slot]).wait()
+
+    # build the interleaved (window row, dx-shift, ci) scratch: shift 1 is
+    # the raw row, shifts 0/2 its lane rolls.  pltpu.roll is 32-bit only,
+    # so roll through an fp32 round-trip, chunked to bound the temps.
+    # Wrap junk: shift-0 lane 0 reads the zero pad column; shift-2 lane
+    # wp-1 reads lane 0 but only ever contributes to masked output lanes.
+    chunk = 4
+    for c0 in range(0, rows + 2, chunk):
+        c1 = min(c0 + chunk, rows + 2)
+        if c1 <= rows:
+            src = xa_ref[0, c0:c1]                     # [c, cin, wp]
+        else:
+            rows_src = [xa_ref[0, j] if j < rows else xb_ref[0, j - rows]
+                        for j in range(c0, c1)]
+            src = jnp.stack(rows_src)
+        c = src.shape[0]
+        f = src.astype(jnp.float32).reshape(c * cin, wp)
+        rm = pltpu.roll(f, 1, 1).astype(src.dtype).reshape(c, cin, wp)
+        rp = pltpu.roll(f, wp - 1, 1).astype(src.dtype).reshape(c, cin, wp)
+        sxi_ref[pl.ds(c0, c), 0] = rm
+        sxi_ref[pl.ds(c0, c), 1] = src
+        sxi_ref[pl.ds(c0, c), 2] = rp
+
+    sxi = sxi_ref[...].reshape((rows + 2) * 3 * cin, wp)
+    for g in range(rows // p):
+        rhs = sxi[g * p * 3 * cin:g * p * 3 * cin + k]
+        acc = jnp.dot(lhs_ref[...], rhs, preferred_element_type=jnp.float32)
+        acc = acc * scale + bias
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        row_ok = (i * rows + g * p + sub_row) < h_valid
+        acc = jnp.where(jnp.logical_and(row_ok, lane_ok), acc, 0.0)
+        oscr_ref[slot, g * p:(g + 1) * p] = acc.reshape(
+            p, cout, wp).astype(oscr_ref.dtype)
+
+    out_dma = pltpu.make_async_copy(
+        oscr_ref.at[slot],
+        out_ref.at[b, pl.ds(1 + i * rows, rows)],
+        sems.at[slot])
+    out_dma.start()
+
+    # halo rows: first program of each batch writes the zero top row,
+    # last one the zero bottom row (synchronously - they are tiny)
+    @pl.when(t == 0)
+    def _():
+        zrow_ref[...] = jnp.zeros_like(zrow_ref)
+
+    @pl.when(i == 0)
+    def _():
+        dma = pltpu.make_async_copy(zrow_ref,
+                                    out_ref.at[b, pl.ds(0, 1)], sems.at[2])
+        dma.start()
+        dma.wait()
+
+    @pl.when(i == nb - 1)
+    def _():
+        dma = pltpu.make_async_copy(
+            zrow_ref, out_ref.at[b, pl.ds(1 + nb * rows, 1)], sems.at[2])
+        dma.start()
+        dma.wait()
+        # drain the double buffer at the very end
+        @pl.when(b == pl.num_programs(0) - 1)
+        def _():
+            out_dma.wait()
+
+            @pl.when(t >= 1)
+            def _():
+                pltpu.make_async_copy(
+                    oscr_ref.at[1 - slot],
+                    out_ref.at[b, pl.ds(1 + i * rows, rows)],
+                    sems.at[1 - slot]).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w_valid", "row_tile", "relu",
+                                    "out_dtype"))
+def conv3x3_hcw(xh, w, scale, bias, h: int, w_valid: int,
+                row_tile: int = 16, relu: bool = True, out_dtype=None):
+    """Fused conv3×3 (padding 1) + per-channel scale/bias + optional ReLU
+    on a haloed HCW activation (see halo_pad).
+
+    xh: [B, Hp+2, Cin, Wp] haloed input (zero top/bottom rows and >=1 zero
+    lane — the invariant every conv3x3_hcw output re-establishes);
+    w: [3, 3, Cin, Cout]; scale/bias: [Cout]; h/w_valid: the true data
+    height/width (rows [1, 1+h), lanes [0, w_valid) of the buffer hold
+    data; everything else is zero and the kernel's masks keep it so).
+    Returns the haloed output [B, Hp+2, Cout, Wp].  Cin must be a
+    multiple of 16, Cout in {64, 128, 256}.
+    """
+    bsz, hp2, cin, wp = xh.shape
+    hp = hp2 - 2
+    cout = w.shape[-1]
+    assert cin % 16 == 0 and cout in (64, 128, 256), (cin, cout)
+    assert hp % row_tile == 0 and wp % 128 == 0
+    assert h <= hp and w_valid < wp
+    p = max(1, 128 // cout)
+    assert row_tile % p == 0
+    out_dtype = out_dtype or xh.dtype
+
+    lhs = _pack_weights(w, p).astype(xh.dtype)
+    sb = jnp.stack([jnp.tile(scale.astype(jnp.float32), p),
+                    jnp.tile(bias.astype(jnp.float32), p)])[..., None]
+
+    nb = hp // row_tile
+    grid = (bsz, nb)
+    xa_spec = pl.BlockSpec((1, row_tile, cin, wp),
+                           lambda b, i: (b, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    xb_spec = pl.BlockSpec((1, 2, cin, wp),
+                           lambda b, i: (b, i * (row_tile // 2)
+                                         + row_tile // 2, 0, 0),
+                           memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(
+        arr.shape, lambda b, i: tuple(0 for _ in arr.shape),
+        memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel, rows=row_tile, h_valid=h,
+                          w_valid=w_valid, cin=cin, cout=cout, p=p,
+                          relu=relu),
+        grid=grid,
+        in_specs=[xa_spec, xb_spec, full(lhs), full(sb)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp2, cout, wp), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, row_tile, cout, wp), out_dtype),
+            pltpu.VMEM((row_tile + 2, 3, cin, wp), xh.dtype),
+            pltpu.VMEM((1, cout, wp), out_dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * hp * wp * 9 * cin * cout,
+            bytes_accessed=(xh.size + bsz * hp2 * cout * wp)
+            * xh.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xh, xh, lhs, sb)
+    return out
