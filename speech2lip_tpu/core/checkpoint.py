@@ -29,12 +29,14 @@ import numpy as np
 _SEP = "/"
 
 
-def _flatten(tree: Any) -> Dict[str, np.ndarray]:
-    flat = {}
+def _flatten_paths(tree: Any):
+    """Yield (path-key, leaf) pairs without densifying the leaves."""
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = _SEP.join(_path_str(p) for p in path)
-        flat[key] = np.asarray(leaf)
-    return flat
+        yield _SEP.join(_path_str(p) for p in path), leaf
+
+
+def _flatten(tree: Any) -> Dict[str, np.ndarray]:
+    return {key: np.asarray(leaf) for key, leaf in _flatten_paths(tree)}
 
 
 def _path_str(entry) -> str:
@@ -145,8 +147,14 @@ class CheckpointManager:
     LATEST = "model.ckpt"
     BEST = "model_best.ckpt"
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, sharded: bool = False):
+        """``sharded=True`` routes writes through
+        core.checkpoint_sharded (each process persists only its own
+        shards; checkpoints become directories).  Sharded writes are
+        synchronous — the shard data lives on device and must be pulled
+        before the step mutates it."""
         self.out_dir = out_dir
+        self.sharded = sharded
         os.makedirs(out_dir, exist_ok=True)
         self._pending = None
 
@@ -155,6 +163,10 @@ class CheckpointManager:
 
     def _write(self, path, tree, scalars, async_):
         self.wait()
+        if self.sharded:
+            from speech2lip_tpu.core.checkpoint_sharded import save_sharded
+            save_sharded(path, tree, scalars)
+            return
         if not async_:
             save(path, tree, scalars)
             return
@@ -182,8 +194,11 @@ class CheckpointManager:
         best = self._p(self.BEST)
         if os.path.exists(best):
             ts = datetime.datetime.now().strftime("%Y%m%d%H%M%S")
-            shutil.copy2(best, best + "." + ts)
-        save(best, tree, scalars)
+            if os.path.isdir(best):
+                shutil.copytree(best, best + "." + ts)
+            else:
+                shutil.copy2(best, best + "." + ts)
+        self._write(best, tree, scalars, async_=False)
 
     def latest_step_file(self) -> Optional[str]:
         """Highest-numbered model_<it>.ckpt, else model.ckpt if present
@@ -207,4 +222,8 @@ class CheckpointManager:
         path = self._p(name) if name else self.latest_step_file()
         if path is None or not os.path.exists(path):
             return like, {}
+        if os.path.isdir(path):  # sharded checkpoint directory
+            from speech2lip_tpu.core.checkpoint_sharded import \
+                restore_sharded
+            return restore_sharded(path, like)
         return load(path, like)

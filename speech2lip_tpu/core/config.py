@@ -82,6 +82,9 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "batch_rays": 9600,
         "print_every": 10,
         "checkpoint_every": 5000,
+        # pod-scale: each process writes only its own shards
+        # (core/checkpoint_sharded); checkpoints become dirs
+        "sharded_ckpt": False,
         "visualize_every": 10000,
         "validate_every": -1,
         "backup_every": 20000,

@@ -244,7 +244,8 @@ def fit(cfg: Dict[str, Any], max_iters: Optional[int] = None,
     out_dir = tr["out_dir"]
     logger = setup_logger(out_dir, tr.get("logfile", "train.log"))
     metrics_w = MetricsWriter(out_dir)
-    ckpt_mgr = CheckpointManager(out_dir)
+    ckpt_mgr = CheckpointManager(
+        out_dir, sharded=bool(tr.get("sharded_ckpt", False)))
 
     ds = LipDataset(cfg["data"]["path"], "train", cfg)
     val_ds = LipDataset(cfg["data"]["path"], "val", cfg)

@@ -191,3 +191,70 @@ def test_batch_larger_than_dataset_rejected(tmp_path):
     ds = LipDataset(root, "train", cfg)
     with pytest.raises(ValueError, match="exceeds"):
         next(batch_iterator(ds, len(ds) + 1, shuffle=False, seed=0))
+
+
+def test_sharded_checkpoint_roundtrip_and_resharding(tmp_path):
+    """save_sharded on a (2,4) mesh, restore on an (8,) mesh with a
+    different layout: values must round-trip exactly; replicated leaves
+    are written once (replica_id==0 dedup); tolerant restore keeps
+    template values for unknown keys."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from speech2lip_tpu.core import checkpoint_sharded as cs
+
+    devs = np.array(jax.devices()[:8])
+    mesh_a = Mesh(devs.reshape(2, 4), ("data", "pixel"))
+    mesh_b = Mesh(devs, ("data",))
+
+    w = jnp.arange(64.0 * 8).reshape(64, 8)
+    b = jnp.arange(16.0)
+    tree = {
+        "w": jax.device_put(w, NamedSharding(mesh_a, P("data", "pixel"))),
+        "b": jax.device_put(b, NamedSharding(mesh_a, P(None))),  # replicated
+        "host": np.full((3,), 2.5, np.float32),
+    }
+    d = str(tmp_path / "sharded")
+    cs.save_sharded(d, tree, {"it": 7})
+
+    # single process: exactly one shard file; replicated leaf stored once
+    import json
+    with open(os.path.join(d, "index.json")) as f:
+        idx = json.load(f)
+    assert len(idx["leaves"]["b"]["blocks"]) == 1
+    assert len(idx["leaves"]["w"]["blocks"]) == 8
+
+    like = {
+        "w": jax.device_put(jnp.zeros((64, 8)),
+                            NamedSharding(mesh_b, P("data"))),
+        "b": jax.device_put(jnp.zeros(16), NamedSharding(mesh_b, P(None))),
+        "host": np.zeros(3, np.float32),
+        "extra": np.ones(2, np.float32),
+    }
+    restored, scalars = cs.restore_sharded(d, like)
+    assert scalars == {"it": 7}
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(w))
+    np.testing.assert_array_equal(np.asarray(restored["b"]), np.asarray(b))
+    np.testing.assert_array_equal(restored["host"],
+                                  np.full((3,), 2.5, np.float32))
+    np.testing.assert_array_equal(restored["extra"], np.ones(2, np.float32))
+    # the restored sharded leaf actually lives on the new mesh layout
+    assert restored["w"].sharding.spec == P("data")
+
+
+def test_sharded_manager_retention_and_resume(tmp_path):
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    t = {"w": jax.device_put(jnp.arange(32.0).reshape(8, 4),
+                             NamedSharding(mesh, P("data")))}
+    m = CheckpointManager(str(tmp_path), sharded=True)
+    m.save_latest(t, it=1)
+    m.save_step(t, 40)
+    like = {"w": jax.device_put(jnp.zeros((8, 4)),
+                                NamedSharding(mesh, P("data")))}
+    restored, scalars = m.restore(like)
+    assert scalars["it"] == 40
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(32.0).reshape(8, 4))
+    m.save_best(t, it=40)
+    m.save_best(t, it=41)  # second best triggers the timestamped copytree
+    assert any(f.startswith("model_best.ckpt.") for f in
+               os.listdir(str(tmp_path)))
