@@ -111,10 +111,24 @@ class LipDataset:
         self.lefttop_x = int(x)
         self.lefttop_y = int(y)
 
-        if mode == "test":
-            self.aud = np.load(os.path.join(root, "audio_test", "audio.npy"))
+        aud_dir = "audio_test" if mode == "test" else "audio"
+        if cfg["model"].get("use_audio_mel"):
+            # mel-input mode (reference use_audio_mel, tf_nerf.py:37-39,
+            # training.py:372): the audio feature stream is 16-frame mel
+            # windows [16, 80] instead of DeepSpeech logits [16, 29].
+            # The reference leaves producing such an audio.npy to the
+            # user; here the windows come straight from the wav so the
+            # mode is end-to-end without an extra preprocessing artifact.
+            wav = audio_dsp.load_wav(os.path.join(root, aud_dir,
+                                                  "audio.wav"))
+            mel = audio_dsp.melspectrogram(
+                wav, fmin=data_cfg.get("mel_fmin", 55.0)).T  # [T, 80]
+            n_mel = max(0, int((mel.shape[0] - 16) / 80.0 * 25.0) + 1)
+            self.aud = np.stack([
+                audio_dsp.crop_audio_window(mel, i + 2)
+                for i in range(n_mel)]).astype(np.float32)  # [N, 16, 80]
         else:
-            self.aud = np.load(os.path.join(root, "audio", "audio.npy"))
+            self.aud = np.load(os.path.join(root, aud_dir, "audio.npy"))
 
         if self.use_canonical_depth:
             tp = _load_track_params(os.path.join(root, "track_params.pt"))

@@ -39,6 +39,9 @@ def make_synthetic_tree(root: str, n_frames: int = 12, face: int = 64,
     from scipy.io import wavfile
     wavfile.write(os.path.join(root, "audio", "audio.wav"), sample_rate,
                   (wav * 32767).astype(np.int16))
+    half = len(wav) // 2
+    wavfile.write(os.path.join(root, "audio_test", "audio.wav"),
+                  sample_rate, (wav[:half] * 32767).astype(np.int16))
 
     # lip placed near the lower-middle of the face (kept in-bounds even
     # after the mouth-bbox center_y ratio shift)

@@ -108,3 +108,47 @@ def test_infer_cli_change_pose(tmp_path, monkeypatch):
     assert plain is not None and edited is not None
     assert edited.shape == plain.shape
     assert not np.allclose(plain, edited)
+
+
+@pytest.mark.slow
+def test_train_and_infer_mel_audio_mode(tmp_path, monkeypatch):
+    """use_audio_mel end-to-end: the dataset derives [16, 80] mel input
+    windows straight from the wav (reference use_audio_mel reinterprets
+    audio.npy, tf_nerf.py:37-39 + training.py:372; producing the mel
+    stream is left to the user there), the encoder takes 80 channels,
+    train + infer run through the real CLIs."""
+    import yaml
+    from speech2lip_tpu.data.synthetic import (make_synthetic_tree,
+                                               synthetic_config)
+
+    root = str(tmp_path / "data")
+    geo = make_synthetic_tree(root, n_frames=12, face=64, lip_h=32,
+                              lip_w=32)
+    cfg = synthetic_config(root, geo)
+    cfg["model"]["use_audio_mel"] = True
+    cfg["training"].update({
+        "out_dir": str(tmp_path / "out"), "checkpoint_every": 2,
+        "backup_every": 2, "validate_every": -1, "visualize_every": -1,
+        "print_every": 1, "use_syncloss": False,
+    })
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from speech2lip_tpu.data.dataset import LipDataset
+    ds = LipDataset(root, "train", cfg)
+    assert ds.load_frame(0)["audio"].shape == (16, 80)
+
+    from speech2lip_tpu.cli import train as train_cli
+    monkeypatch.setattr(sys, "argv", ["train", cfg_path, "--max-iters", "2"])
+    train_cli.main()
+    assert os.path.exists(os.path.join(cfg["training"]["out_dir"],
+                                       "model_2.ckpt"))
+
+    monkeypatch.chdir(tmp_path)
+    from speech2lip_tpu.cli import infer as infer_cli
+    monkeypatch.setattr(sys, "argv", ["infer", cfg_path, "--output_dir",
+                                      "mel", "--use_new_audio"])
+    infer_cli.main()
+    out_dir = str(tmp_path / "rendering_result" / "mel" / "postfusion")
+    assert len(os.listdir(out_dir)) > 0
