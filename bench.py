@@ -29,7 +29,9 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
-    batch = 16 if on_tpu else 2
+    # 32 amortizes dispatch + pipeline ramp better than 16
+    # (measured 367 vs 355 fps; plateau past 32)
+    batch = 32 if on_tpu else 2
     face, lip_h, lip_w = 500, 80, 120
 
     cfg = default_config()

@@ -49,8 +49,13 @@ def _kernel(grid_ref, src_ref, out_ref, *, hs, ws, height, width,
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, hs_pad), 1)
     src_dt = src_ref.dtype
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, ws_pad), 1)
-    colw = ((cols == x0i).astype(jnp.float32) * (1.0 - wx)
-            + (cols == x0i + 1).astype(jnp.float32) * wx)     # [T, Ws] f32
+    if src_dt == jnp.float32:
+        colw = ((cols == x0i).astype(jnp.float32) * (1.0 - wx)
+                + (cols == x0i + 1).astype(jnp.float32) * wx)  # [T, Ws]
+    else:
+        wxl = wx.astype(src_dt)
+        colw = ((cols == x0i).astype(src_dt) * (1 - wxl)
+                + (cols == x0i + 1).astype(src_dt) * wxl)
 
     outs = []
     if src_dt == jnp.float32:
@@ -66,9 +71,12 @@ def _kernel(grid_ref, src_ref, out_ref, *, hs, ws, height, width,
     else:
         # bf16 path: fold the row weights into one one-hot matrix — the
         # weight quantization (<=2^-9 relative) is below the bf16 pixel
-        # quantum already on this path, and it halves the MXU work
-        rowy = ((rows == y0i).astype(jnp.float32) * (1.0 - wy)
-                + (rows == y0i + 1).astype(jnp.float32) * wy).astype(src_dt)
+        # quantum already on this path, and it halves the MXU work.  The
+        # indicators are built in bf16 end-to-end (half the VPU bytes of
+        # the fp32 construction; this build dominates the kernel's cost).
+        wyl = wy.astype(src_dt)
+        rowy = ((rows == y0i).astype(src_dt) * (1 - wyl)
+                + (rows == y0i + 1).astype(src_dt) * wyl)
         for ch in range(channels):
             gc = jnp.dot(rowy, src_ref[0, ch],
                          preferred_element_type=jnp.float32)  # [T, Ws]
