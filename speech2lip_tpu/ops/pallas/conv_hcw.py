@@ -260,3 +260,209 @@ def conv3x3_hcw(xh, w, scale, bias, h: int, w_valid: int,
         ),
     )(xh, xh, lhs, sb)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pair-fused DoubleConv (conv1 -> BN/ReLU -> conv2 -> BN/ReLU in one kernel)
+# ---------------------------------------------------------------------------
+
+def halo2_pad(x, row_tile: int = 8):
+    """[B, H, C, W] -> double-haloed [B, Hp+4, C, Wp]: two zero rows above
+    (a fused conv pair consumes a 2-row halo), >=2 below, zero pad lanes."""
+    b, h, c, w = x.shape
+    wp = -(-w // 128) * 128
+    if wp == w:
+        wp += 128
+    hp = -(-h // row_tile) * row_tile
+    return jnp.pad(x, ((0, 0), (2, hp - h + 2), (0, 0), (0, wp - w)))
+
+
+def _build_sxi(sxi_ref, read_row, n_rows: int, cin: int, wp: int,
+               chunk: int = 4):
+    """Fill sxi_ref [n_rows, 3, cin, wp] with the (row, dx-shift, ci)
+    interleave: shift 1 raw, shifts 0/2 lane-rolled (32-bit roll via an
+    fp32 round-trip).  ``read_row(j) -> [cin, wp]``."""
+    for c0 in range(0, n_rows, chunk):
+        c1 = min(c0 + chunk, n_rows)
+        src = read_row(c0, c1)
+        c = c1 - c0
+        f = src.astype(jnp.float32).reshape(c * cin, wp)
+        rm = pltpu.roll(f, 1, 1).astype(src.dtype).reshape(c, cin, wp)
+        rp = pltpu.roll(f, wp - 1, 1).astype(src.dtype).reshape(c, cin, wp)
+        sxi_ref[pl.ds(c0, c), 0] = rm
+        sxi_ref[pl.ds(c0, c), 1] = src
+        sxi_ref[pl.ds(c0, c), 2] = rp
+
+
+def _dconv_kernel(xa_ref, xb_ref, lhs1_ref, lhs2_ref, sb_ref, out_ref,
+                  oscr_ref, sxi1_ref, mid_ref, sxi2_ref, zrow_ref, sems, *,
+                  rows: int, h_valid: int, w_valid: int, cin: int,
+                  cmid: int, cout: int, p1: int, p2: int):
+    """One (batch, row-tile) program of the fused DoubleConv.
+
+    xa_ref: [1, rows, cin, wp]  buffer rows [i*R, i*R+R)
+    xb_ref: [1, 4, cin, wp]     buffer rows [i*R+R, i*R+R+4)
+    lhs1/lhs2: packed weights for conv1/conv2
+    sb_ref: [4, max(P*C), 1] scale/bias rows for both convs
+    out_ref: [B, Hp+4, cout, wp] (ANY)
+    mid_ref: [rows+2, cmid, wp] conv1 output scratch
+    """
+    wp = out_ref.shape[-1]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+    t = b * nb + i
+    slot = jax.lax.rem(t, 2)
+    lane_ok = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1) < w_valid
+
+    @pl.when(t >= 2)
+    def _():
+        pltpu.make_async_copy(
+            oscr_ref.at[slot],
+            out_ref.at[b, pl.ds(2 + i * rows, rows)],
+            sems.at[slot]).wait()
+
+    def read_in(c0, c1):
+        if c1 <= rows:
+            return xa_ref[0, c0:c1]
+        parts = [xa_ref[0, j] if j < rows else xb_ref[0, j - rows]
+                 for j in range(c0, c1)]
+        return jnp.stack(parts)
+
+    _build_sxi(sxi1_ref, read_in, rows + 4, cin, wp)
+    sxi1 = sxi1_ref[...].reshape((rows + 4) * 3 * cin, wp)
+    k1 = (p1 + 2) * 3 * cin
+    m1 = p1 * cmid
+    sub1 = jax.lax.broadcasted_iota(jnp.int32, (m1, 1), 0) // cmid
+    scale1, bias1 = sb_ref[0, :m1], sb_ref[1, :m1]
+    # conv1 output rows: data rows [i*R-1, i*R+R+1)
+    for g in range((rows + 2) // p1):
+        rhs = sxi1[g * p1 * 3 * cin:g * p1 * 3 * cin + k1]
+        acc = jnp.dot(lhs1_ref[...], rhs,
+                      preferred_element_type=jnp.float32)
+        acc = jnp.maximum(acc * scale1 + bias1, 0.0)
+        data_row = i * rows - 1 + g * p1 + sub1
+        ok = jnp.logical_and(data_row >= 0, data_row < h_valid)
+        acc = jnp.where(jnp.logical_and(ok, lane_ok), acc, 0.0)
+        mid_ref[g * p1:(g + 1) * p1] = acc.reshape(
+            p1, cmid, wp).astype(mid_ref.dtype)
+
+    _build_sxi(sxi2_ref, lambda c0, c1: mid_ref[c0:c1], rows + 2, cmid, wp)
+    sxi2 = sxi2_ref[...].reshape((rows + 2) * 3 * cmid, wp)
+    k2 = (p2 + 2) * 3 * cmid
+    m2 = p2 * cout
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (m2, 1), 0) // cout
+    scale2, bias2 = sb_ref[2, :m2], sb_ref[3, :m2]
+    for g in range(rows // p2):
+        rhs = sxi2[g * p2 * 3 * cmid:g * p2 * 3 * cmid + k2]
+        acc = jnp.dot(lhs2_ref[...], rhs,
+                      preferred_element_type=jnp.float32)
+        acc = jnp.maximum(acc * scale2 + bias2, 0.0)
+        row_ok = (i * rows + g * p2 + sub2) < h_valid
+        acc = jnp.where(jnp.logical_and(row_ok, lane_ok), acc, 0.0)
+        oscr_ref[slot, g * p2:(g + 1) * p2] = acc.reshape(
+            p2, cout, wp).astype(oscr_ref.dtype)
+
+    out_dma = pltpu.make_async_copy(
+        oscr_ref.at[slot],
+        out_ref.at[b, pl.ds(2 + i * rows, rows)],
+        sems.at[slot])
+    out_dma.start()
+
+    @pl.when(t == 0)
+    def _():
+        zrow_ref[...] = jnp.zeros_like(zrow_ref)
+
+    @pl.when(i == 0)
+    def _():
+        dma = pltpu.make_async_copy(zrow_ref,
+                                    out_ref.at[b, pl.ds(0, 2)], sems.at[2])
+        dma.start()
+        dma.wait()
+
+    @pl.when(i == nb - 1)
+    def _():
+        dma = pltpu.make_async_copy(
+            zrow_ref, out_ref.at[b, pl.ds(2 + nb * rows, 2)], sems.at[2])
+        dma.start()
+        dma.wait()
+
+        @pl.when(b == pl.num_programs(0) - 1)
+        def _():
+            out_dma.wait()
+
+            @pl.when(t >= 1)
+            def _():
+                pltpu.make_async_copy(
+                    oscr_ref.at[1 - slot],
+                    out_ref.at[b, pl.ds(2 + i * rows, rows)],
+                    sems.at[1 - slot]).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w_valid", "row_tile",
+                                    "out_dtype"))
+def double_conv_hcw(xh, w1, scale1, bias1, w2, scale2, bias2, h: int,
+                    w_valid: int, row_tile: int = 8, out_dtype=None):
+    """Fused DoubleConv (conv3×3+BN+ReLU ×2) on a double-haloed HCW
+    activation (see halo2_pad): the conv1 intermediate never leaves VMEM.
+
+    xh: [B, Hp+4, Cin, Wp]; w1: [3,3,Cin,Cmid]; w2: [3,3,Cmid,Cout].
+    Returns the double-haloed output [B, Hp+4, Cout, Wp]."""
+    bsz, hp4, cin, wp = xh.shape
+    hp = hp4 - 4
+    cmid, cout = w1.shape[-1], w2.shape[-1]
+    assert w2.shape[2] == cmid and cin % 16 == 0
+    assert hp % row_tile == 0 and row_tile % 4 == 0
+    assert h <= hp and w_valid < wp
+    p1 = max(1, 128 // cmid)
+    p2 = max(1, 128 // cout)
+    assert (row_tile + 2) % p1 == 0 and row_tile % p2 == 0
+    out_dtype = out_dtype or xh.dtype
+
+    lhs1 = _pack_weights(w1, p1).astype(xh.dtype)
+    lhs2 = _pack_weights(w2, p2).astype(xh.dtype)
+    mrow = max(p1 * cmid, p2 * cout)
+    sb = jnp.zeros((4, mrow), jnp.float32)
+    sb = sb.at[0, :p1 * cmid].set(jnp.tile(scale1.astype(jnp.float32), p1))
+    sb = sb.at[1, :p1 * cmid].set(jnp.tile(bias1.astype(jnp.float32), p1))
+    sb = sb.at[2, :p2 * cout].set(jnp.tile(scale2.astype(jnp.float32), p2))
+    sb = sb.at[3, :p2 * cout].set(jnp.tile(bias2.astype(jnp.float32), p2))
+    sb = sb[..., None]
+
+    nb = hp // row_tile
+    xa_spec = pl.BlockSpec((1, row_tile, cin, wp),
+                           lambda b, i: (b, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    xb_spec = pl.BlockSpec((1, 4, cin, wp),
+                           lambda b, i: (b, i * (row_tile // 4)
+                                         + row_tile // 4, 0, 0),
+                           memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(
+        arr.shape, lambda b, i: tuple(0 for _ in arr.shape),
+        memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_dconv_kernel, rows=row_tile, h_valid=h,
+                          w_valid=w_valid, cin=cin, cmid=cmid, cout=cout,
+                          p1=p1, p2=p2),
+        grid=(bsz, nb),
+        in_specs=[xa_spec, xb_spec, full(lhs1), full(lhs2), full(sb)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp4, cout, wp), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, row_tile, cout, wp), out_dtype),
+            pltpu.VMEM((row_tile + 4, 3, cin, wp), xh.dtype),
+            pltpu.VMEM((row_tile + 2, cmid, wp), xh.dtype),
+            pltpu.VMEM((row_tile + 2, 3, cmid, wp), xh.dtype),
+            pltpu.VMEM((2, cout, wp), out_dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * hp * wp * 9 * (cin * cmid + cmid * cout),
+            bytes_accessed=(xh.size + bsz * hp4 * cout * wp)
+            * xh.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xh, xh, lhs1, lhs2, sb)
+    return out

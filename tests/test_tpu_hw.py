@@ -124,6 +124,45 @@ def test_conv_hcw_matches_xla_on_tpu():
         assert float(np.abs(halo).max()) == 0.0, "halo invariant broken"
 
 
+def test_double_conv_hcw_matches_xla_on_tpu():
+    """Pair-fused DoubleConv kernel: conv1 intermediate stays in VMEM;
+    output must match two XLA convs, halo invariant intact."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+    from speech2lip_tpu.ops.pallas.conv_hcw import (double_conv_hcw,
+                                                    halo2_pad)
+
+    rng = np.random.default_rng(0)
+    conv = lambda v, w: jax.lax.conv_general_dilated(
+        v, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    for (B, H, W, Cin, Cmid, Cout, rt) in [(2, 40, 100, 64, 64, 64, 8),
+                                           (1, 24, 60, 16, 64, 64, 8),
+                                           (1, 32, 70, 64, 128, 128, 8),
+                                           (1, 16, 50, 128, 128, 64, 8)]:
+        x = jnp.asarray(rng.standard_normal((B, H, Cin, W)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((3, 3, Cin, Cmid)) * 0.05,
+                         jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((3, 3, Cmid, Cout)) * 0.05,
+                         jnp.float32)
+        s1 = jnp.asarray(rng.standard_normal((Cmid,)) * 0.3 + 1, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal((Cmid,)) * 0.1, jnp.float32)
+        s2 = jnp.asarray(rng.standard_normal((Cout,)) * 0.3 + 1, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+        out = double_conv_hcw(halo2_pad(x, rt), w1, s1, b1, w2, s2, b2,
+                              H, W, row_tile=rt)
+        mid = jnp.maximum(conv(jnp.transpose(x, (0, 1, 3, 2)), w1) * s1
+                          + b1, 0)
+        ref = jnp.transpose(jnp.maximum(conv(mid, w2) * s2 + b2, 0),
+                            (0, 1, 3, 2))
+        err = float(jnp.max(jnp.abs(out[:, 2:2 + H, :, :W] - ref)))
+        assert err < 2e-3, (B, H, W, Cin, Cmid, Cout, err)
+        halo = np.array(out)
+        halo[:, 2:2 + H, :, :W] = 0
+        assert float(np.abs(halo).max()) == 0.0
+
+
 def test_unet_hcw_matches_xla_on_tpu():
     _require_tpu()
     import jax
@@ -145,5 +184,6 @@ if __name__ == "__main__":
     test_fused_mlp_single_compiles_on_tpu()
     test_window_sample_compiles_on_tpu()
     test_conv_hcw_matches_xla_on_tpu()
+    test_double_conv_hcw_matches_xla_on_tpu()
     test_unet_hcw_matches_xla_on_tpu()
     print("TPU hardware smoke tests passed")
