@@ -96,8 +96,16 @@ def render_face_batch(params, unet_params, unet_state, batch: Dict[str, Any],
         batch["coord"], lip_x, lip_y,
         expand_divisor=expand_divisor, window=window,
         use_pallas=use_pallas)
-    face, _ = unet_light.apply(unet_params, unet_state,
-                               unet_in.astype(compute_dtype), train=False)
+    unet_in = unet_in.astype(compute_dtype)
+    if use_pallas and unet_in.shape[1] % 2 == 0 \
+            and unet_in.shape[2] % 2 == 0:
+        # fully-fused Pallas U-Net (pool/upsample/concat folded into the
+        # DoubleConv kernels): ~1.4x the XLA graph at May geometry
+        face = unet_light.apply_infer_fused(unet_params, unet_state,
+                                            unet_in)
+    else:
+        face, _ = unet_light.apply(unet_params, unet_state, unet_in,
+                                   train=False)
     return {"lip": rgb_lip, "face": face.astype(jnp.float32)}
 
 

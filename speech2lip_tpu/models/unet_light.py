@@ -196,6 +196,59 @@ def apply_infer_hcw(params, state, x, row_tile: int = 16):
     return jnp.transpose(y, (0, 1, 3, 2)) + params["outc"]["b"]
 
 
+def apply_infer_fused(params, state, x):
+    """Inference forward as five fully-fused Pallas blocks
+    (ops/pallas/conv_hcw.fused_block_hcw): every DoubleConv runs with its
+    2×2 maxpool (down path) or its 2× upsample + skip concat (up path)
+    folded into the kernel — no pooled/upsampled/concatenated tensor ever
+    exists in HBM, and conv intermediates stay in VMEM.  ~1.25× the XLA
+    U-Net at May geometry (measured v5e batch 16 bf16: ~30 vs 38 ms).
+
+    x: [B, H, W, C] NHWC -> [B, H, W, n_classes].  H and W must be even.
+    """
+    from speech2lip_tpu.ops.pallas.conv_hcw import (fused_block_hcw,
+                                                    halo2_pad)
+    from speech2lip_tpu.ops.pallas.conv_block import fold_bn
+
+    b, h, w, cin = x.shape
+
+    def blk(name, sources, hh, ww, rt, pool=False, cpad=0):
+        p, s = params[name], state[name]
+        s1, b1 = fold_bn(p["bn1"], s["bn1"])
+        s2, b2 = fold_bn(p["bn2"], s["bn2"])
+        w1 = p["conv1"]["w"]
+        if cpad:
+            w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, cpad), (0, 0)))
+        return fused_block_hcw(sources, w1, s1, b1, p["conv2"]["w"], s2,
+                               b2, hh, ww, row_tile=rt, pool_out=pool)
+
+    xh = jnp.transpose(x, (0, 1, 3, 2))
+    xh = jnp.pad(xh, ((0, 0), (0, 0), (0, 16 - cin), (0, 0)))
+    xh = halo2_pad(xh, 16)
+
+    # row tiles: a pooled buffer's padded height is parent_hp/2, so each
+    # consumer picks the largest tile dividing it (hp1 is a multiple of
+    # 16, so hp2 %% 8 == 0 and hp3 %% 4 == 0 always hold)
+    hp1 = -(-h // 16) * 16
+    rt2 = 16 if (hp1 // 2) % 16 == 0 else 8
+    hp3 = hp1 // 4
+    rt3 = 16 if hp3 % 16 == 0 else (8 if hp3 % 8 == 0 else 4)
+
+    x1, x1p = blk("inc", [("direct", xh)], h, w, 16, pool=True,
+                  cpad=16 - cin)
+    h2, w2 = h // 2, w // 2
+    x2, x2p = blk("down1", [("direct", x1p)], h2, w2, rt2, pool=True)
+    h3, w3 = h2 // 2, w2 // 2
+    x3 = blk("down2", [("direct", x2p)], h3, w3, rt3)
+    u = blk("up1", [("direct", x2), ("up2x", x3)], h2, w2, 8)
+    u = blk("up2", [("direct", x1), ("up2x", u)], h, w, 8)
+
+    d = u[:, 2:2 + h, :, :w]
+    wo = params["outc"]["w"][0, 0]
+    y = jnp.einsum("bhcw,cd->bhdw", d, wo)
+    return jnp.transpose(y, (0, 1, 3, 2)) + params["outc"]["b"]
+
+
 def apply_infer_pallas(params, state, x, row_tile: int = 25):
     """Inference-only forward through the fused Pallas conv kernels.
 

@@ -163,6 +163,64 @@ def test_double_conv_hcw_matches_xla_on_tpu():
         assert float(np.abs(halo).max()) == 0.0
 
 
+def test_unet_fused_matches_xla_on_tpu():
+    """The five-block fully-fused U-Net (serving default on TPU) must
+    match the XLA graph."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+    from speech2lip_tpu.models import unet_light
+
+    rng = np.random.default_rng(0)
+    p, s = unet_light.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.uniform(0, 1, (2, 104, 116, 3)), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        ref, _ = jax.jit(
+            lambda p, s, x: unet_light.apply(p, s, x, train=False))(p, s, x)
+    out = jax.jit(unet_light.apply_infer_fused)(p, s, x)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 5e-4, err
+
+
+def test_renderer_pallas_path_matches_xla_on_tpu():
+    """Full render_face_batch: the all-Pallas serving path (fused MLP,
+    window composite, fused U-Net) vs the plain XLA graph, fp32."""
+    _require_tpu()
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from speech2lip_tpu.data.synthetic import synthetic_batch
+    from speech2lip_tpu.data.windows import compute_warp_window
+    from speech2lip_tpu.core.config import default_config
+    from speech2lip_tpu.infer.renderer import render_face_batch
+    from speech2lip_tpu.models import talking_face as tf
+    from speech2lip_tpu.models import unet_light
+
+    batch_n, face, lip_h, lip_w = 2, 128, 32, 48
+    cfg = default_config()
+    cfg["model"]["canonical_depth_height"] = face
+    cfg["model"]["canonical_depth_width"] = face
+    raw, geo = synthetic_batch(batch_n, face=face, lip_h=lip_h,
+                               lip_w=lip_w)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = tf.init(k1, cfg)
+    unet_p, unet_s = unet_light.init(k2)
+    box = tf.expanded_lip_box(lip_h, lip_w, geo["lip_x"], geo["lip_y"])
+    window = compute_warp_window(
+        [raw["coord"][i] for i in range(batch_n)], box, face, face,
+        margin=8)
+    dev = jax.tree.map(jnp.asarray, raw)
+    outs = {}
+    for use in (False, True):
+        fn = jax.jit(functools.partial(
+            render_face_batch, lip_x=geo["lip_x"], lip_y=geo["lip_y"],
+            lip_h=lip_h, lip_w=lip_w, window=window, use_pallas=use,
+            compute_dtype=jnp.float32))
+        outs[use] = fn(params, unet_p, unet_s, dev)
+    err = float(jnp.max(jnp.abs(outs[True]["face"] - outs[False]["face"])))
+    assert err < 5e-3, err
+
+
 def test_unet_hcw_matches_xla_on_tpu():
     _require_tpu()
     import jax
@@ -185,5 +243,7 @@ if __name__ == "__main__":
     test_window_sample_compiles_on_tpu()
     test_conv_hcw_matches_xla_on_tpu()
     test_double_conv_hcw_matches_xla_on_tpu()
+    test_unet_fused_matches_xla_on_tpu()
+    test_renderer_pallas_path_matches_xla_on_tpu()
     test_unet_hcw_matches_xla_on_tpu()
     print("TPU hardware smoke tests passed")
