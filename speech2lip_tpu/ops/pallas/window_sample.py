@@ -32,6 +32,51 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 1024
 
 
+def _point_weights(g, hs, ws, height, width, y_off, x_off):
+    ix = ((g[:, 0:1] + 1.0) * width - 1.0) * 0.5 - x_off      # [T, 1]
+    iy = ((g[:, 1:2] + 1.0) * height - 1.0) * 0.5 - y_off
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = ix - x0
+    wy = iy - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, ws - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, hs - 2)
+    return x0i, y0i, wx, wy
+
+
+def _kernel_bf16(grid_ref, src_ref, csel_ref, out_ref, *, hs, ws, height,
+                 width, y_off, x_off, channels):
+    """bf16 path: both bilinear weights folded into one-hot matrices
+    (weight quantization <=2^-9, below the bf16 pixel quantum).  The
+    column weights contract FIRST against a width-major source with
+    channels stacked along lanes — one dot serves every channel and the
+    remaining row blend runs on the smaller [T, C*Hs] intermediate — and
+    the final per-channel reduction is a block-ones matmul instead of
+    lane reductions (VPU passes dominate this kernel's cost).
+
+    src_ref: [1, Ws_pad, C*Hs_pad] width-major; csel_ref: [C*Hs_pad, C].
+    """
+    g = grid_ref[0]                                           # [T, 2] f32
+    x0i, y0i, wx, wy = _point_weights(g, hs, ws, height, width, y_off,
+                                      x_off)
+    hs_pad = src_ref.shape[2] // channels
+    dt = src_ref.dtype
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, hs_pad), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, src_ref.shape[1]), 1)
+    wxl = wx.astype(dt)
+    colw = ((cols == x0i).astype(dt) * (1 - wxl)
+            + (cols == x0i + 1).astype(dt) * wxl)
+    wyl = wy.astype(dt)
+    rowy = ((rows == y0i).astype(dt) * (1 - wyl)
+            + (rows == y0i + 1).astype(dt) * wyl)
+    tmp = jnp.dot(colw, src_ref[0],
+                  preferred_element_type=jnp.float32)         # [T, C*Hs]
+    rowy3 = jnp.concatenate([rowy] * channels, axis=1)
+    out_ref[0] = jnp.dot(rowy3 * tmp.astype(dt), csel_ref[...],
+                         preferred_element_type=jnp.float32
+                         ).astype(out_ref.dtype)
+
+
 def _kernel(grid_ref, src_ref, out_ref, *, hs, ws, height, width,
             y_off, x_off, channels):
     g = grid_ref[0]                                           # [T, 2] f32
@@ -68,19 +113,6 @@ def _kernel(grid_ref, src_ref, out_ref, *, hs, ws, height, width,
             g1 = jnp.dot(ind1, s, preferred_element_type=jnp.float32)
             gc = g0 * (1.0 - wy) + g1 * wy                    # [T, Ws] f32
             outs.append(jnp.sum(colw * gc, axis=1, keepdims=True))
-    else:
-        # bf16 path: fold the row weights into one one-hot matrix — the
-        # weight quantization (<=2^-9 relative) is below the bf16 pixel
-        # quantum already on this path, and it halves the MXU work.  The
-        # indicators are built in bf16 end-to-end (half the VPU bytes of
-        # the fp32 construction; this build dominates the kernel's cost).
-        wyl = wy.astype(src_dt)
-        rowy = ((rows == y0i).astype(src_dt) * (1 - wyl)
-                + (rows == y0i + 1).astype(src_dt) * wyl)
-        for ch in range(channels):
-            gc = jnp.dot(rowy, src_ref[0, ch],
-                         preferred_element_type=jnp.float32)  # [T, Ws]
-            outs.append(jnp.sum(colw * gc, axis=1, keepdims=True))
     out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
 
@@ -104,34 +136,61 @@ def window_sample(src: jnp.ndarray, grid: jnp.ndarray, y_off: int,
     hs_pad = -(-hs // 8) * 8
     ws_pad = -(-ws // 128) * 128
     p_pad = -(-p // tile) * tile
+    grid_p = jnp.pad(grid.astype(jnp.float32),
+                     ((0, 0), (0, p_pad - p), (0, 0)))
+    kw = dict(hs=hs, ws=ws, height=height, width=width, y_off=y_off,
+              x_off=x_off, channels=c)
+    gspec = pl.BlockSpec((1, tile, 2), lambda bb, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, tile, c), lambda bb, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * b * p_pad * hs_pad * ws_pad * c * 2,
+        bytes_accessed=(grid_p.size * 4 + src.size * src.dtype.itemsize
+                        + b * p_pad * c * src.dtype.itemsize),
+        transcendentals=0)
 
-    # [B, C, Hs, Ws]: channels become a cheap python loop in the kernel so
-    # no in-kernel minor-dim reshape is needed
+    if src.dtype != jnp.float32:
+        # width-major source, channels stacked along lanes:
+        # src_t[b, w, ch*Hs+h] = src[b, h, w, ch]
+        src_t = jnp.pad(src, ((0, 0), (0, hs_pad - hs),
+                              (0, ws_pad - ws), (0, 0)))
+        src_t = jnp.transpose(src_t, (0, 2, 3, 1)).reshape(
+            b, ws_pad, c * hs_pad)
+        csel = (jnp.arange(c * hs_pad)[:, None] // hs_pad
+                == jnp.arange(c)[None, :]).astype(src.dtype)
+        out = pl.pallas_call(
+            functools.partial(_kernel_bf16, **kw),
+            grid=(b, p_pad // tile),
+            in_specs=[
+                gspec,
+                pl.BlockSpec((1, ws_pad, c * hs_pad),
+                             lambda bb, i: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(csel.shape, lambda bb, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((b, p_pad, c), src.dtype),
+            cost_estimate=cost,
+        )(grid_p, src_t, csel)
+        return out[:, :p]
+
+    # f32 path: [B, C, Hs, Ws], channels as a python loop in the kernel
     src_t = jnp.transpose(src, (0, 3, 1, 2))
     src_t = jnp.pad(src_t, ((0, 0), (0, 0), (0, hs_pad - hs),
                             (0, ws_pad - ws)))
-    grid_p = jnp.pad(grid.astype(jnp.float32),
-                     ((0, 0), (0, p_pad - p), (0, 0)))
-
     out = pl.pallas_call(
-        functools.partial(_kernel, hs=hs, ws=ws, height=height, width=width,
-                          y_off=y_off, x_off=x_off, channels=c),
+        functools.partial(_kernel, **kw),
         grid=(b, p_pad // tile),
         in_specs=[
-            pl.BlockSpec((1, tile, 2), lambda bb, i: (bb, i, 0),
-                         memory_space=pltpu.VMEM),
+            gspec,
             pl.BlockSpec((1, c, hs_pad, ws_pad),
                          lambda bb, i: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile, c), lambda bb, i: (bb, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((b, p_pad, c), src.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * p_pad * hs_pad * ws_pad * c * 2,
-            bytes_accessed=(grid_p.size * 4 + src_t.size * src.dtype.itemsize
-                            + b * p_pad * c * src.dtype.itemsize),
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
     )(grid_p, src_t)
     return out[:, :p]
