@@ -163,6 +163,70 @@ def test_double_conv_hcw_matches_xla_on_tpu():
         assert float(np.abs(halo).max()) == 0.0
 
 
+def test_fused_block_pool_and_upsample_on_tpu():
+    """fused_block_hcw with pool_out and an up2x+concat source must match
+    the XLA pipeline (precision-pinned reference)."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+    from speech2lip_tpu.ops import nn as snn
+    from speech2lip_tpu.ops.pallas.conv_hcw import (fused_block_hcw,
+                                                    halo2_pad)
+
+    rng = np.random.default_rng(0)
+    hconv = lambda v, w: jax.lax.conv_general_dilated(
+        v, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    B, H, W, Cmid, Cout, rt = 2, 40, 100, 64, 64, 8
+    s1 = jnp.ones(Cmid); b1 = jnp.zeros(Cmid)
+    s2 = jnp.ones(Cout); b2 = jnp.zeros(Cout)
+    x = jnp.asarray(rng.standard_normal((B, H, 64, W)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, 64, Cmid)) * 0.05,
+                     jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, Cmid, Cout)) * 0.05,
+                     jnp.float32)
+    out, pooled = jax.jit(lambda xh: fused_block_hcw(
+        [("direct", xh)], w1, s1, b1, w2, s2, b2, H, W, row_tile=rt,
+        pool_out=True))(halo2_pad(x, rt))
+
+    @jax.jit
+    def ref_pool(x, w1, w2):
+        mid = jnp.maximum(hconv(jnp.transpose(x, (0, 1, 3, 2)), w1), 0)
+        full = jnp.maximum(hconv(mid, w2), 0)
+        return (jnp.transpose(full, (0, 1, 3, 2)),
+                jnp.transpose(snn.maxpool2d(full), (0, 1, 3, 2)))
+    refT, refP = ref_pool(x, w1, w2)
+    assert float(jnp.max(jnp.abs(out[:, 2:2 + H, :, :W] - refT))) < 1e-4
+    assert float(jnp.max(jnp.abs(
+        pooled[:, 2:2 + H // 2, :, :W // 2] - refP))) < 1e-4
+    halo = np.array(pooled)
+    halo[:, 2:2 + H // 2, :, :W // 2] = 0
+    assert float(np.abs(halo).max()) == 0.0
+
+    skip = jnp.asarray(rng.standard_normal((B, H, 32, W)), jnp.float32)
+    low = jnp.asarray(rng.standard_normal((B, H // 2, 32, W // 2)),
+                      jnp.float32)
+    w1c = jnp.asarray(rng.standard_normal((3, 3, 64, Cmid)) * 0.05,
+                      jnp.float32)
+    out2 = jax.jit(lambda sk, lo: fused_block_hcw(
+        [("direct", sk), ("up2x", lo)], w1c, s1, b1, w2, s2, b2, H, W,
+        row_tile=rt))(halo2_pad(skip, rt), halo2_pad(low, rt))
+
+    with jax.default_matmul_precision("highest"):
+        @jax.jit
+        def ref_up(skip, low, w1c, w2):
+            up = snn.upsample_bilinear(
+                jnp.transpose(low, (0, 1, 3, 2)), H, W)
+            cat = jnp.concatenate(
+                [jnp.transpose(skip, (0, 1, 3, 2)), up], axis=-1)
+            midc = jnp.maximum(hconv(cat, w1c), 0)
+            return jnp.transpose(jnp.maximum(hconv(midc, w2), 0),
+                                 (0, 1, 3, 2))
+        refc = ref_up(skip, low, w1c, w2)
+    assert float(jnp.max(jnp.abs(out2[:, 2:2 + H, :, :W] - refc))) < 1e-4
+
+
 def test_unet_fused_matches_xla_on_tpu():
     """The five-block fully-fused U-Net (serving default on TPU) must
     match the XLA graph."""
@@ -243,6 +307,7 @@ if __name__ == "__main__":
     test_window_sample_compiles_on_tpu()
     test_conv_hcw_matches_xla_on_tpu()
     test_double_conv_hcw_matches_xla_on_tpu()
+    test_fused_block_pool_and_upsample_on_tpu()
     test_unet_fused_matches_xla_on_tpu()
     test_renderer_pallas_path_matches_xla_on_tpu()
     test_unet_hcw_matches_xla_on_tpu()
