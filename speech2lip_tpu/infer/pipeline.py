@@ -83,43 +83,81 @@ class MultiSpeakerServer:
         for i, (x, y) in enumerate(lip_positions):
             self.groups.setdefault((int(x), int(y)), []).append(i)
 
-        # per-group stacked parameter pytrees
+        # per-group stacked parameter pytrees, cast to the compute dtype
+        # (param sets usually arrive fp32; the bf16 serving path needs
+        # matching operand dtypes)
+        cdt = jnp.bfloat16 if use_pallas else jnp.float32
+        param_sets = [jax.tree.map(
+            lambda x: x.astype(cdt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, ps)
+            for ps in param_sets]
+        self._param_sets = param_sets
         self._stacked = {
             off: jax.tree.map(lambda *xs: jnp.stack(xs),
                               *[param_sets[i] for i in ids])
             for off, ids in self.groups.items()
         }
 
-        def render_one(params3, batch, lip_x, lip_y):
+        def render_one(params3, batch, lip_x, lip_y, pallas=False):
             p, up, us = params3
             return render_face_batch(
                 p, up, us, batch,
                 lip_x=lip_x, lip_y=lip_y, lip_h=lip_h, lip_w=lip_w,
-                use_pallas=False,  # vmap over the Pallas call adds a grid
-                                   # dim Mosaic hasn't been validated on here
+                use_pallas=pallas,
                 window=window,
                 compute_dtype=jnp.bfloat16 if use_pallas else jnp.float32)
 
         self._render_one = render_one
+        self.use_pallas = use_pallas
         # one compiled program per group: vmap over stacked identities
+        # (the vmapped program keeps the XLA graph — vmap over the manual-
+        # DMA Pallas kernels adds a grid dim Mosaic hasn't been validated
+        # on here; the sequential fused path below covers large batches)
         self._group_fns = {
             off: jax.jit(jax.vmap(functools.partial(
                 render_one, lip_x=off[0], lip_y=off[1])))
             for off in self.groups
         }
+        # per-offset single-identity programs on the full Pallas path
+        # (fused U-Net + window/MLP kernels): identity params are traced
+        # ARGUMENTS, so one compile serves every identity of the group
+        self._fused_fns = {
+            off: jax.jit(functools.partial(
+                render_one, lip_x=off[0], lip_y=off[1], pallas=True))
+            for off in self.groups
+        } if use_pallas else {}
         self._single_fns = {}
 
+    # past this per-identity frame count the sequential fused-kernel path
+    # out-runs the vmapped XLA program (the fused U-Net is ~1.4x XLA and
+    # needs no cross-identity batching to saturate the chip at batch>=16)
+    FUSED_BATCH_THRESHOLD = 16
+
     def render_all(self, batches: List[Dict[str, Any]]):
-        """Serve every identity in one compiled call per offset group.
+        """Serve every identity, one compiled call per offset group.
 
         batches: per-identity frame batches (same frame-batch size B across
         identities).  Returns a list of outputs indexed by identity.
+        Small per-identity batches run the vmapped all-identity XLA
+        program; large ones run each identity through the shared fused-
+        kernel program (params are traced args — still one compile per
+        offset group).
         """
         if len(batches) != self.n_identities:
             raise ValueError(f"need {self.n_identities} batches, "
                              f"got {len(batches)}")
         out: List[Any] = [None] * self.n_identities
+        bsz = next(iter(batches[0].values())).shape[0] if batches else 0
+        use_fused = self._fused_fns and bsz >= self.FUSED_BATCH_THRESHOLD
         for off, ids in self.groups.items():
+            if use_fused:
+                # per-identity pytrees are pre-sliced at construction —
+                # eager param indexing per call would cost hundreds of
+                # tiny device dispatches
+                for i in ids:
+                    out[i] = self._fused_fns[off](self._param_sets[i],
+                                                  batches[i])
+                continue
             stacked_batch = jax.tree.map(
                 lambda *xs: jnp.stack(xs), *[batches[i] for i in ids])
             res = self._group_fns[off](self._stacked[off], stacked_batch)
