@@ -1,0 +1,165 @@
+"""Multi-identity serving daemon (filesystem request queue).
+
+The production serving surface the reference lacks (its only inference
+entry is the offline eval CLI, reference inference.py): load N trained
+identities, hold one compiled render program per lip-offset group
+(MultiSpeakerServer), and stream new-audio requests through it.
+
+Usage:
+    python -m speech2lip_tpu.cli.serve cfg_id0.yaml [cfg_id1.yaml ...] \
+        --queue QUEUE_DIR --out OUT_DIR [--batch 32] [--poll 0.5] \
+        [--once] [--deepspeech deepspeech.ckpt]
+
+Request protocol (one file per request dropped into QUEUE_DIR):
+    <identity_index>__<request_id>.npy   DeepSpeech windows [N, 16, 29]
+    <identity_index>__<request_id>.wav   raw speech (requires --deepspeech,
+                                         or mel mode via use_audio_mel)
+Responses: frames at OUT_DIR/<request_id>/%05d.jpg (BGR, like the
+reference's writer) and OUT_DIR/<request_id>.done written last; failures
+leave <request_id>.err with the message.  --once drains the queue and
+exits (used by tests); otherwise the daemon polls.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def _load_identity(cfg_path):
+    import jax.numpy as jnp
+    from speech2lip_tpu.core.checkpoint import CheckpointManager
+    from speech2lip_tpu.core.config import load_config
+    from speech2lip_tpu.data.dataset import LipDataset
+    from speech2lip_tpu.train.trainer import init_models
+    from speech2lip_tpu.train.train_step import TrainState
+
+    cfg = load_config(cfg_path)
+    root = cfg["data"]["path"]
+    mode = "test" if os.path.isdir(os.path.join(root, "audio_test")) \
+        else "val"
+    ds = LipDataset(root, mode, cfg)
+    params, unet_p, unet_s, _ = init_models(cfg, ds)
+    mgr = CheckpointManager(cfg["training"]["out_dir"])
+    like = TrainState(params, unet_p, unet_s, None, jnp.int32(0))
+    state, scalars = mgr.restore(like, name=None)
+    if not scalars:
+        print(f"WARNING: no checkpoint for {cfg_path} — serving RANDOM "
+              "weights")
+    return cfg, ds, state
+
+
+def _audio_windows(path, cfg, ds_params):
+    import numpy as np
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    from speech2lip_tpu.ops import audio_dsp
+    wav = audio_dsp.load_wav(path)
+    if cfg["model"].get("use_audio_mel"):
+        mel = audio_dsp.melspectrogram(
+            wav, fmin=cfg["data"].get("mel_fmin", 55.0)).T
+        n = max(0, int((mel.shape[0] - 16) / 80.0 * 25.0) + 1)
+        return np.stack([audio_dsp.crop_audio_window(mel, i + 2)
+                         for i in range(n)]).astype(np.float32)
+    if ds_params is None:
+        raise ValueError(".wav request needs --deepspeech (or a "
+                         "use_audio_mel identity)")
+    from speech2lip_tpu.preprocess.audio_features import \
+        wav_to_deepspeech_windows
+    return np.asarray(wav_to_deepspeech_windows(wav, 16000, ds_params))
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Serve trained identities.")
+    ap.add_argument("configs", nargs="+")
+    ap.add_argument("--queue", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--poll", type=float, default=0.5)
+    ap.add_argument("--once", action="store_true")
+    ap.add_argument("--deepspeech", type=str, default=None)
+    args = ap.parse_args()
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from speech2lip_tpu.core import checkpoint as ckpt
+    from speech2lip_tpu.data.dataset import stack_batch
+    from speech2lip_tpu.data.windows import cached_warp_window
+    from speech2lip_tpu.infer.pipeline import MultiSpeakerServer
+    from speech2lip_tpu.models import talking_face as tf
+
+    identities = [_load_identity(c) for c in args.configs]
+    cfg0 = identities[0][0]
+    window = cfg0["data"].get("warp_window")
+    if window is None:
+        ds0 = identities[0][1]
+        box = tf.expanded_lip_box(ds0.lip_h, ds0.lip_w, ds0.lefttop_x,
+                                  ds0.lefttop_y,
+                                  cfg0["data"].get("expand_mask_divisor", 5))
+        window = cached_warp_window(
+            cfg0["data"]["path"], box, ds0.face_h, ds0.face_w,
+            lambda: (ds0._coord(i) for i in range(len(ds0))))
+    server = MultiSpeakerServer(
+        cfg0,
+        [(st.params, st.unet_params, st.unet_state)
+         for _, _, st in identities],
+        [(ds.lefttop_x, ds.lefttop_y) for _, ds, _ in identities],
+        window=tuple(window) if window is not None else None)
+    bases = [ds.load_frame(0) for _, ds, _ in identities]
+    ds_params = None
+    if args.deepspeech:
+        ds_params, _ = ckpt.load_nested(args.deepspeech)
+
+    os.makedirs(args.out, exist_ok=True)
+    print(f"serving {len(identities)} identities from {args.queue}")
+
+    def handle(fname):
+        stem = os.path.splitext(fname)[0]
+        ident_s, _, req = stem.partition("__")
+        path = os.path.join(args.queue, fname)
+        try:
+            ident = int(ident_s)
+            cfg, ds, _ = identities[ident]
+            windows = _audio_windows(path, cfg, ds_params)
+            req_dir = os.path.join(args.out, req)
+            os.makedirs(req_dir, exist_ok=True)
+            n = windows.shape[0]
+            for start in range(0, n, args.batch):
+                samples = []
+                for i in range(start, min(start + args.batch, n)):
+                    s = dict(bases[ident])
+                    s["audio"] = windows[i]
+                    s["index"] = np.int32(i)
+                    samples.append(s)
+                b = jax.tree.map(jnp.asarray, stack_batch(samples))
+                faces = np.asarray(server.render_fast(ident, b)["face"])
+                for k, i in enumerate(range(start, start + len(samples))):
+                    img = np.clip(faces[k] * 255.0, 0, 255).astype(np.uint8)
+                    cv2.imwrite(os.path.join(req_dir, f"{i:05d}.jpg"),
+                                img[:, :, ::-1])
+            with open(os.path.join(args.out, req + ".done"), "w") as f:
+                f.write(str(n))
+            print(f"request {req}: {n} frames for identity {ident}")
+        except Exception as e:  # leave a breadcrumb, keep serving
+            with open(os.path.join(args.out, req + ".err"), "w") as f:
+                f.write(f"{type(e).__name__}: {e}")
+            print(f"request {req} FAILED: {e}")
+        finally:
+            os.remove(path)
+
+    while True:
+        pending = sorted(f for f in os.listdir(args.queue)
+                         if f.endswith((".npy", ".wav")) and "__" in f)
+        for fname in pending:
+            handle(fname)
+        if args.once:
+            break
+        if not pending:
+            time.sleep(args.poll)
+
+
+if __name__ == "__main__":
+    main()

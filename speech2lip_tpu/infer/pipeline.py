@@ -165,6 +165,14 @@ class MultiSpeakerServer:
                 out[i] = jax.tree.map(lambda x: x[k], res)
         return out
 
+    def render_fast(self, identity: int, batch: Dict[str, Any]):
+        """Render one identity's batch on the fastest available path (the
+        fused-kernel program when the server was built with use_pallas)."""
+        off = next(o for o, ids in self.groups.items() if identity in ids)
+        if self._fused_fns:
+            return self._fused_fns[off](self._param_sets[identity], batch)
+        return self.render(identity, batch)
+
     def render(self, identity: int, batch: Dict[str, Any]):
         """Render a frame batch for one identity (compiled per lip offset)."""
         off = next(o for o, ids in self.groups.items() if identity in ids)

@@ -141,3 +141,51 @@ def test_multispeaker_render_all_vmapped(rng):
                                    rtol=1e-5, atol=1e-5)
     assert not np.allclose(np.asarray(outs[0]["face"]),
                            np.asarray(outs[2]["face"]))
+
+
+def test_serve_cli_filesystem_queue(tmp_path, monkeypatch):
+    """cli.serve drains a filesystem queue: .npy audio-window requests per
+    identity -> frames + .done markers; bad requests leave .err."""
+    import os
+    import sys
+    import yaml
+    from speech2lip_tpu.data.synthetic import (make_synthetic_tree,
+                                               synthetic_config)
+
+    roots = []
+    cfgs = []
+    for s in range(2):
+        root = str(tmp_path / f"id{s}")
+        geo = make_synthetic_tree(root, n_frames=8, face=64, lip_h=32,
+                                  lip_w=32)
+        cfg = synthetic_config(root, geo)
+        cfg["training"]["out_dir"] = str(tmp_path / f"out{s}")
+        p = str(tmp_path / f"cfg{s}.yaml")
+        with open(p, "w") as f:
+            yaml.safe_dump(cfg, f)
+        roots.append(root)
+        cfgs.append(p)
+
+    queue = tmp_path / "queue"
+    outd = tmp_path / "served"
+    queue.mkdir()
+    rng = np.random.default_rng(0)
+    np.save(str(queue / "1__reqA.npy"),
+            rng.standard_normal((5, 16, 29)).astype(np.float32))
+    np.save(str(queue / "9__reqBad.npy"),   # identity out of range
+            rng.standard_normal((2, 16, 29)).astype(np.float32))
+
+    from speech2lip_tpu.cli import serve as serve_cli
+    monkeypatch.setattr(sys, "argv", [
+        "serve", *cfgs, "--queue", str(queue), "--out", str(outd),
+        "--batch", "4", "--once"])
+    serve_cli.main()
+
+    assert (outd / "reqA.done").exists()
+    frames = sorted(os.listdir(outd / "reqA"))
+    assert len(frames) == 5
+    import cv2
+    img = cv2.imread(str(outd / "reqA" / frames[0]))
+    assert img.shape == (64, 64, 3)
+    assert (outd / "reqBad.err").exists()
+    assert not os.listdir(queue)
