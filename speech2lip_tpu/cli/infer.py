@@ -24,6 +24,10 @@ def main():
     parser.add_argument("--model_iter", type=str, default=None)
     parser.add_argument("--use_new_audio", action="store_true")
     parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--bf16", action="store_true",
+                        help="serve in bfloat16 (enables the fully-fused "
+                             "Pallas U-Net path on TPU, ~1.4x; outputs "
+                             "differ from fp32 by <= the bf16 quantum)")
     parser.add_argument("--export_video", action="store_true",
                         help="also mux the frames (+ audio.wav if present) "
                              "into rendering_result/<out>/result.avi")
@@ -53,6 +57,8 @@ def main():
     from speech2lip_tpu.train.train_step import TrainState
 
     cfg = load_config(args.config)
+    if args.bf16:
+        cfg["model"]["compute_dtype"] = "bfloat16"
     mode = "test" if args.use_new_audio else "val"
     ds = LipDataset(cfg["data"]["path"], mode, cfg)
 

@@ -97,10 +97,12 @@ def render_face_batch(params, unet_params, unet_state, batch: Dict[str, Any],
         expand_divisor=expand_divisor, window=window,
         use_pallas=use_pallas)
     unet_in = unet_in.astype(compute_dtype)
-    if use_pallas and unet_in.shape[1] % 2 == 0 \
-            and unet_in.shape[2] % 2 == 0:
+    if use_pallas and compute_dtype == jnp.bfloat16 \
+            and unet_in.shape[1] % 2 == 0 and unet_in.shape[2] % 2 == 0:
         # fully-fused Pallas U-Net (pool/upsample/concat folded into the
-        # DoubleConv kernels): ~1.4x the XLA graph at May geometry
+        # DoubleConv kernels): ~1.4x the XLA graph at May geometry.
+        # bf16-only: fp32 activations double the kernels' VMEM scratches
+        # past the 16 MB budget at 500² (measured OOM on the up blocks)
         face = unet_light.apply_infer_fused(unet_params, unet_state,
                                             unet_in)
     else:
@@ -128,6 +130,13 @@ class Renderer:
         if window is None:
             window = d.get("warp_window")
         compute_dtype = jnp.dtype(cfg["model"].get("compute_dtype", "float32"))
+        if compute_dtype != jnp.float32:
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(compute_dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+            params, unet_params, unet_state = (cast(params),
+                                               cast(unet_params),
+                                               cast(unet_state))
         self._params = (params, unet_params, unet_state)
         self.use_pallas = bool(use_pallas)
 
