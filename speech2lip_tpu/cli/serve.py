@@ -93,15 +93,29 @@ def main():
 
     identities = [_load_identity(c) for c in args.configs]
     cfg0 = identities[0][0]
-    window = cfg0["data"].get("warp_window")
-    if window is None:
-        ds0 = identities[0][1]
-        box = tf.expanded_lip_box(ds0.lip_h, ds0.lip_w, ds0.lefttop_x,
-                                  ds0.lefttop_y,
-                                  cfg0["data"].get("expand_mask_divisor", 5))
-        window = cached_warp_window(
-            cfg0["data"]["path"], box, ds0.face_h, ds0.face_w,
-            lambda: (ds0._coord(i) for i in range(len(ds0))))
+    # the server compiles one program per lip-offset group with ONE static
+    # window — validate a window per identity (each has its own coord
+    # grids and lip box) and take the union, which stays valid for all
+    windows = []
+    for cfg_i, ds_i, _ in identities:
+        win = cfg_i["data"].get("warp_window")
+        if win is None:
+            box = tf.expanded_lip_box(
+                ds_i.lip_h, ds_i.lip_w, ds_i.lefttop_x, ds_i.lefttop_y,
+                cfg_i["data"].get("expand_mask_divisor", 5))
+            win = cached_warp_window(
+                cfg_i["data"]["path"], box, ds_i.face_h, ds_i.face_w,
+                lambda ds_i=ds_i: (ds_i._coord(i)
+                                   for i in range(len(ds_i))))
+        windows.append(tuple(win) if win is not None else None)
+    if any(w is None for w in windows):
+        window = None  # full-frame warp, always safe
+    else:
+        y0 = min(w[0] for w in windows)
+        x0 = min(w[1] for w in windows)
+        y1 = max(w[0] + w[2] for w in windows)
+        x1 = max(w[1] + w[3] for w in windows)
+        window = (y0, x0, y1 - y0, x1 - x0)
     server = MultiSpeakerServer(
         cfg0,
         [(st.params, st.unet_params, st.unet_state)

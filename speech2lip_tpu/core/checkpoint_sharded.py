@@ -10,9 +10,12 @@ reference train.py:235-244):
 - ``save_sharded``: every process writes only the shards it owns
   (``addressable_shards`` with ``replica_id == 0``, so replicated leaves
   are written exactly once across the fleet) into its own
-  ``shards-p<k>.npz``; process 0 writes ``index.json`` describing each
-  leaf's global shape/dtype and where every shard's block lives.
-- ``restore_sharded``: rebuilds each leaf with
+  ``shards-p<k>.npz`` + ``index-p<k>.json``; process 0 writes
+  ``meta.json`` (process count + scalars).  There is deliberately no
+  save-time merge — it would race the other hosts' writes.
+- ``restore_sharded``: merges the per-process indices (exactly the
+  ``meta.json`` process count, so stale files from an earlier larger
+  topology are ignored) and rebuilds each leaf with
   ``jax.make_array_from_callback`` against a *target* sharding (the
   template's — it does not need to match the sharding at save time: the
   callback assembles any requested region from the stored blocks).  Each
@@ -36,7 +39,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 
-from speech2lip_tpu.core.checkpoint import _flatten_paths, unflatten
+from speech2lip_tpu.core.checkpoint import _flatten_paths
 
 
 def _slice_tuple(index, shape) -> Tuple[Tuple[int, int], ...]:
@@ -76,36 +79,41 @@ def save_sharded(dir_path: str, tree: Any,
     np.savez(tmp, **blocks)
     os.replace(tmp, os.path.join(dir_path, f"shards-p{proc}.npz"))
 
-    # merge per-process indices: every process writes its own piece and
-    # process 0 (last to run in the single-controller test world; on a
-    # real pod a barrier precedes reads anyway) merges into index.json
+    # every process writes only its own index piece; the pieces merge at
+    # RESTORE time (no cross-process ordering exists at save time, so a
+    # process-0 merge here would race other hosts' writes).  meta.json —
+    # written by process 0 about its own knowledge only — pins the
+    # process count so restores ignore stale index-p*/shards-p* files
+    # left by an earlier save with a larger topology.
     with open(os.path.join(dir_path, f"index-p{proc}.json"), "w") as f:
         json.dump(index, f)
     if proc == 0:
-        merged: Dict[str, Any] = {}
-        for fname in sorted(os.listdir(dir_path)):
-            if fname.startswith("index-p") and fname.endswith(".json"):
-                with open(os.path.join(dir_path, fname)) as f:
-                    part = json.load(f)
-                for key, entry in part.items():
-                    if key not in merged:
-                        merged[key] = {"shape": entry["shape"],
-                                       "dtype": entry["dtype"], "blocks": []}
-                    merged[key]["blocks"].extend(entry["blocks"])
-        with open(os.path.join(dir_path, "index.json"), "w") as f:
-            json.dump({"leaves": merged, "scalars": scalars or {}}, f)
+        with open(os.path.join(dir_path, "meta.json"), "w") as f:
+            json.dump({"processes": jax.process_count(),
+                       "scalars": scalars or {}}, f)
 
 
 def restore_sharded(dir_path: str, like: Any
                     ) -> Tuple[Any, Dict[str, Any]]:
     """Rebuild a pytree from ``save_sharded`` output.
 
-    ``like`` supplies structure and per-leaf target shardings: leaves that
-    are jax.Arrays keep their sharding; non-jax leaves are restored as
-    host numpy.  Returns (tree, scalars)."""
-    with open(os.path.join(dir_path, "index.json")) as f:
-        idx = json.load(f)
-    leaves_idx = idx["leaves"]
+    ``like`` supplies structure (the returned tree uses its treedef) and
+    per-leaf target shardings: leaves that are jax.Arrays keep their
+    sharding; non-jax leaves are restored as host numpy.  Tolerant like
+    checkpoint.load: unknown keys keep the template leaf, shape drift
+    keeps the template leaf, stored values cast to the template dtype.
+    Returns (tree, scalars)."""
+    with open(os.path.join(dir_path, "meta.json")) as f:
+        meta = json.load(f)
+    leaves_idx: Dict[str, Any] = {}
+    for p in range(int(meta["processes"])):
+        with open(os.path.join(dir_path, f"index-p{p}.json")) as f:
+            part = json.load(f)
+        for key, entry in part.items():
+            if key not in leaves_idx:
+                leaves_idx[key] = {"shape": entry["shape"],
+                                   "dtype": entry["dtype"], "blocks": []}
+            leaves_idx[key]["blocks"].extend(entry["blocks"])
     cache: Dict[str, Any] = {}
 
     def _npz(fname):
@@ -133,24 +141,29 @@ def restore_sharded(dir_path: str, like: Any
             out[dst_sl] = src[src_sl]
         return out
 
-    restored = {}
-    for key, leaf in _flatten_paths(like):
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
+    new_leaves = []
+    for (path, leaf), (key, _) in zip(paths_leaves, _flatten_paths(like)):
         if key not in leaves_idx:
-            restored[key] = leaf  # tolerant load, like checkpoint.load
+            new_leaves.append(leaf)  # tolerant: unknown key keeps template
             continue
         entry = leaves_idx[key]
         shape = tuple(entry["shape"])
-        dtype = np.dtype(entry["dtype"])
+        if shape != tuple(np.shape(leaf)):
+            new_leaves.append(leaf)  # tolerate architecture drift
+            continue
+        tdt = np.asarray(leaf).dtype if not isinstance(leaf, jax.Array)             else leaf.dtype
         if isinstance(leaf, jax.Array) and hasattr(leaf, "sharding"):
             sharding = leaf.sharding
 
-            def cb(index, _key=key, _shape=shape):
+            def cb(index, _key=key, _shape=shape, _dt=tdt):
                 bounds = _slice_tuple(index, _shape)
-                return _region(_key, bounds)
+                return _region(_key, bounds).astype(_dt)
 
-            restored[key] = jax.make_array_from_callback(
-                shape, sharding, cb)
+            new_leaves.append(jax.make_array_from_callback(
+                shape, sharding, cb))
         else:
-            restored[key] = _region(key, tuple((0, d) for d in shape))
-    tree = unflatten(restored)
-    return tree, idx.get("scalars", {})
+            new_leaves.append(
+                _region(key, tuple((0, d) for d in shape)).astype(tdt))
+    tree = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return tree, meta.get("scalars", {})

@@ -75,7 +75,10 @@ class MultiSpeakerServer:
         d = cfg["data"]
         lip_h, lip_w = int(d["height"]), int(d["width"])
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            # TPU only ("axon" is the tunneled-TPU backend name some
+            # environments report): the fused kernels are Mosaic programs
+            # and, unlike Renderer, the server has no lowering fallback
+            use_pallas = jax.default_backend() in ("tpu", "axon")
         self.n_identities = len(param_sets)
 
         # identity groups: offset -> ordered list of identity ids

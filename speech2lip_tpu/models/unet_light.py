@@ -204,13 +204,16 @@ def apply_infer_fused(params, state, x):
     exists in HBM, and conv intermediates stay in VMEM.  ~1.25× the XLA
     U-Net at May geometry (measured v5e batch 16 bf16: ~30 vs 38 ms).
 
-    x: [B, H, W, C] NHWC -> [B, H, W, n_classes].  H and W must be even.
+    x: [B, H, W, C] NHWC -> [B, H, W, n_classes].  H and W must be
+    multiples of 4 (both pool levels and the exact-2x upsamples need even
+    sizes at every stage).
     """
     from speech2lip_tpu.ops.pallas.conv_hcw import (fused_block_hcw,
                                                     halo2_pad)
     from speech2lip_tpu.ops.pallas.conv_block import fold_bn
 
     b, h, w, cin = x.shape
+    assert h % 4 == 0 and w % 4 == 0, (h, w)
 
     def blk(name, sources, hh, ww, rt, pool=False, cpad=0):
         p, s = params[name], state[name]

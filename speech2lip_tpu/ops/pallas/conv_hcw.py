@@ -135,27 +135,16 @@ def _conv_kernel(xa_ref, xb_ref, lhs_ref, sb_ref, out_ref,
             out_ref.at[b, pl.ds(1 + i * rows, rows)],
             sems.at[slot]).wait()
 
-    # build the interleaved (window row, dx-shift, ci) scratch: shift 1 is
-    # the raw row, shifts 0/2 its lane rolls.  pltpu.roll is 32-bit only,
-    # so roll through an fp32 round-trip, chunked to bound the temps.
-    # Wrap junk: shift-0 lane 0 reads the zero pad column; shift-2 lane
-    # wp-1 reads lane 0 but only ever contributes to masked output lanes.
-    chunk = 4
-    for c0 in range(0, rows + 2, chunk):
-        c1 = min(c0 + chunk, rows + 2)
+    # build the interleaved (window row, dx-shift, ci) scratch; see
+    # _build_sxi for the roll/wrap-junk discussion
+    def read_in(c0, c1):
         if c1 <= rows:
-            src = xa_ref[0, c0:c1]                     # [c, cin, wp]
-        else:
-            rows_src = [xa_ref[0, j] if j < rows else xb_ref[0, j - rows]
-                        for j in range(c0, c1)]
-            src = jnp.stack(rows_src)
-        c = src.shape[0]
-        f = src.astype(jnp.float32).reshape(c * cin, wp)
-        rm = pltpu.roll(f, 1, 1).astype(src.dtype).reshape(c, cin, wp)
-        rp = pltpu.roll(f, wp - 1, 1).astype(src.dtype).reshape(c, cin, wp)
-        sxi_ref[pl.ds(c0, c), 0] = rm
-        sxi_ref[pl.ds(c0, c), 1] = src
-        sxi_ref[pl.ds(c0, c), 2] = rp
+            return xa_ref[0, c0:c1]                    # [c, cin, wp]
+        return jnp.stack([xa_ref[0, j] if j < rows
+                          else xb_ref[0, j - rows]
+                          for j in range(c0, c1)])
+
+    _build_sxi(sxi_ref, read_in, rows + 2, cin, wp)
 
     sxi = sxi_ref[...].reshape((rows + 2) * 3 * cin, wp)
     for g in range(rows // p):
@@ -292,18 +281,11 @@ def halo2_pad(x, row_tile: int = 8):
 def _build_sxi(sxi_ref, read_row, n_rows: int, cin: int, wp: int,
                chunk: int = 4):
     """Fill sxi_ref [n_rows, 3, cin, wp] with the (row, dx-shift, ci)
-    interleave: shift 1 raw, shifts 0/2 lane-rolled (32-bit roll via an
-    fp32 round-trip).  ``read_row(j) -> [cin, wp]``."""
-    for c0 in range(0, n_rows, chunk):
-        c1 = min(c0 + chunk, n_rows)
-        src = read_row(c0, c1)
-        c = c1 - c0
-        f = src.astype(jnp.float32).reshape(c * cin, wp)
-        rm = pltpu.roll(f, 1, 1).astype(src.dtype).reshape(c, cin, wp)
-        rp = pltpu.roll(f, wp - 1, 1).astype(src.dtype).reshape(c, cin, wp)
-        sxi_ref[pl.ds(c0, c), 0] = rm
-        sxi_ref[pl.ds(c0, c), 1] = src
-        sxi_ref[pl.ds(c0, c), 2] = rp
+    interleave: shift 1 raw, shifts 0/2 lane-rolled (``pltpu.roll`` is
+    32-bit only, so rolls round-trip through fp32; wrap junk lands in the
+    zero pad column / masked output lanes).
+    ``read_row(c0, c1) -> [c1-c0, cin, wp]``."""
+    _build_sxi_at(sxi_ref, read_row, n_rows, cin, wp, 0, chunk)
 
 
 def _dconv_kernel(xa_ref, xb_ref, lhs1_ref, lhs2_ref, sb_ref, out_ref,
@@ -743,20 +725,18 @@ def _fused_block_impl(arrays, w1, scale1, bias1, w2, scale2, bias2,
     """See fused_block_hcw.  ``arrays``: flat tuple of source buffers;
     ``src_kinds``: matching tuple of 'direct' | 'up2x'."""
     bsz = arrays[0].shape[0]
-    wp = max(a.shape[-1] for k, a in zip(src_kinds, arrays)
-             if k == "direct") if "direct" in src_kinds else \
-        2 * arrays[0].shape[-1] - 128
-    hp = None
+    assert "direct" in src_kinds, \
+        "fused_block_hcw needs at least one full-resolution source " \
+        "(it defines the output geometry)"
+    hp = wp = None
     for kind, a in zip(src_kinds, arrays):
         if kind == "direct":
             hp = a.shape[1] - 4
             wp = a.shape[-1]
-    if hp is None:  # all sources are low-res
-        hp = 2 * (arrays[0].shape[1] - 4)
-        wp = -(-(2 * (arrays[0].shape[-1] - 128)) // 128) * 128 + 128
     cmid, cout = w1.shape[-1], w2.shape[-1]
     p1 = max(1, 128 // cmid)
     p2 = max(1, 128 // cout)
+    assert w_valid < wp and h <= hp
     assert hp % row_tile == 0 and row_tile % 4 == 0
     assert (row_tile + 2) % p1 == 0 and row_tile % p2 == 0
     if any(k == "up2x" for k in src_kinds):

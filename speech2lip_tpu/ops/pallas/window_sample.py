@@ -79,40 +79,27 @@ def _kernel_bf16(grid_ref, src_ref, csel_ref, out_ref, *, hs, ws, height,
 
 def _kernel(grid_ref, src_ref, out_ref, *, hs, ws, height, width,
             y_off, x_off, channels):
+    """f32 path: exact 0/1 indicator matmuls with an f32 row blend (the
+    training/parity path keeps full precision; the bf16 kernel above is
+    the serving path)."""
     g = grid_ref[0]                                           # [T, 2] f32
-    ix = ((g[:, 0:1] + 1.0) * width - 1.0) * 0.5 - x_off      # [T, 1]
-    iy = ((g[:, 1:2] + 1.0) * height - 1.0) * 0.5 - y_off
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    wx = ix - x0
-    wy = iy - y0
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, ws - 2)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, hs - 2)
-
+    x0i, y0i, wx, wy = _point_weights(g, hs, ws, height, width, y_off,
+                                      x_off)
     hs_pad = src_ref.shape[2]
     ws_pad = src_ref.shape[3]
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, hs_pad), 1)
-    src_dt = src_ref.dtype
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, ws_pad), 1)
-    if src_dt == jnp.float32:
-        colw = ((cols == x0i).astype(jnp.float32) * (1.0 - wx)
-                + (cols == x0i + 1).astype(jnp.float32) * wx)  # [T, Ws]
-    else:
-        wxl = wx.astype(src_dt)
-        colw = ((cols == x0i).astype(src_dt) * (1 - wxl)
-                + (cols == x0i + 1).astype(src_dt) * wxl)
-
+    colw = ((cols == x0i).astype(jnp.float32) * (1.0 - wx)
+            + (cols == x0i + 1).astype(jnp.float32) * wx)     # [T, Ws]
+    ind0 = (rows == y0i).astype(jnp.float32)                  # [T, Hs] 0/1
+    ind1 = (rows == y0i + 1).astype(jnp.float32)
     outs = []
-    if src_dt == jnp.float32:
-        # exact path: 0/1 indicator matmuls, f32 row blend
-        ind0 = (rows == y0i).astype(src_dt)                   # [T, Hs] 0/1
-        ind1 = (rows == y0i + 1).astype(src_dt)
-        for ch in range(channels):
-            s = src_ref[0, ch]                                # [Hs, Ws]
-            g0 = jnp.dot(ind0, s, preferred_element_type=jnp.float32)
-            g1 = jnp.dot(ind1, s, preferred_element_type=jnp.float32)
-            gc = g0 * (1.0 - wy) + g1 * wy                    # [T, Ws] f32
-            outs.append(jnp.sum(colw * gc, axis=1, keepdims=True))
+    for ch in range(channels):
+        src = src_ref[0, ch]                                  # [Hs, Ws]
+        g0 = jnp.dot(ind0, src, preferred_element_type=jnp.float32)
+        g1 = jnp.dot(ind1, src, preferred_element_type=jnp.float32)
+        gc = g0 * (1.0 - wy) + g1 * wy                        # [T, Ws] f32
+        outs.append(jnp.sum(colw * gc, axis=1, keepdims=True))
     out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
 

@@ -217,10 +217,12 @@ def test_sharded_checkpoint_roundtrip_and_resharding(tmp_path):
 
     # single process: exactly one shard file; replicated leaf stored once
     import json
-    with open(os.path.join(d, "index.json")) as f:
+    with open(os.path.join(d, "index-p0.json")) as f:
         idx = json.load(f)
-    assert len(idx["leaves"]["b"]["blocks"]) == 1
-    assert len(idx["leaves"]["w"]["blocks"]) == 8
+    assert len(idx["b"]["blocks"]) == 1
+    assert len(idx["w"]["blocks"]) == 8
+    with open(os.path.join(d, "meta.json")) as f:
+        assert json.load(f)["processes"] == 1
 
     like = {
         "w": jax.device_put(jnp.zeros((64, 8)),
@@ -238,6 +240,33 @@ def test_sharded_checkpoint_roundtrip_and_resharding(tmp_path):
     np.testing.assert_array_equal(restored["extra"], np.ones(2, np.float32))
     # the restored sharded leaf actually lives on the new mesh layout
     assert restored["w"].sharding.spec == P("data")
+
+    # NamedTuple templates keep their structure (trainer resume passes a
+    # TrainState; a digit-keyed unflatten would return a plain list)
+    from speech2lip_tpu.train.train_step import TrainState
+    st = TrainState(
+        {"w": jax.device_put(w, NamedSharding(mesh_a,
+                                              P("data", "pixel")))},
+        {"b": b}, {"m": np.zeros(2, np.float32)}, None, jnp.int32(3))
+    d2 = str(tmp_path / "sharded_state")
+    cs.save_sharded(d2, st, {"it": 9})
+    like_st = TrainState(
+        {"w": jax.device_put(jnp.zeros((64, 8)),
+                             NamedSharding(mesh_b, P("data")))},
+        {"b": jnp.zeros(16)}, {"m": np.ones(2, np.float32)}, None,
+        jnp.int32(0))
+    rst, sc = cs.restore_sharded(d2, like_st)
+    assert isinstance(rst, TrainState) and sc == {"it": 9}
+    np.testing.assert_array_equal(np.asarray(rst.params["w"]),
+                                  np.asarray(w))
+    assert int(rst.it) == 3
+    # dtype cast + shape-drift tolerance, like the dense loader
+    like_bf = {"w": jax.device_put(jnp.zeros((64, 8), jnp.bfloat16),
+                                   NamedSharding(mesh_b, P("data"))),
+               "b": jnp.zeros(99)}
+    r2, _ = cs.restore_sharded(d, like_bf)
+    assert r2["w"].dtype == jnp.bfloat16
+    assert r2["b"].shape == (99,)
 
 
 def test_sharded_manager_retention_and_resume(tmp_path):

@@ -115,7 +115,8 @@ def test_conv_hcw_matches_xla_on_tpu():
         out = conv3x3_hcw(halo_pad(x, rt), w, s, b, H, W, row_tile=rt)
         ref = jax.lax.conv_general_dilated(
             jnp.transpose(x, (0, 1, 3, 2)), w, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
         ref = jnp.transpose(jnp.maximum(ref * s + b, 0), (0, 1, 3, 2))
         err = float(jnp.max(jnp.abs(out[:, 1:1 + H, :, :W] - ref)))
         assert err < 1e-4, (B, H, W, Cin, Cout, err)
@@ -136,7 +137,8 @@ def test_double_conv_hcw_matches_xla_on_tpu():
     rng = np.random.default_rng(0)
     conv = lambda v, w: jax.lax.conv_general_dilated(
         v, w, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
     for (B, H, W, Cin, Cmid, Cout, rt) in [(2, 40, 100, 64, 64, 64, 8),
                                            (1, 24, 60, 16, 64, 64, 8),
                                            (1, 32, 70, 64, 128, 128, 8),
@@ -157,7 +159,7 @@ def test_double_conv_hcw_matches_xla_on_tpu():
         ref = jnp.transpose(jnp.maximum(conv(mid, w2) * s2 + b2, 0),
                             (0, 1, 3, 2))
         err = float(jnp.max(jnp.abs(out[:, 2:2 + H, :, :W] - ref)))
-        assert err < 2e-3, (B, H, W, Cin, Cmid, Cout, err)
+        assert err < 1e-4, (B, H, W, Cin, Cmid, Cout, err)
         halo = np.array(out)
         halo[:, 2:2 + H, :, :W] = 0
         assert float(np.abs(halo).max()) == 0.0
