@@ -72,11 +72,27 @@ def main():
         jax.block_until_ready(out)
         return fn
 
-    try:
-        fn = build(use_pallas=on_tpu)
-    except Exception as e:  # pallas fallback
-        print(f"# pallas path failed ({type(e).__name__}: {e}); XLA fallback",
+    if on_tpu:
+        # self-verifying artifact (VERDICT r2 #7): the headline number must
+        # come from the Pallas path AND agree with the XLA program — a
+        # kernel that stops lowering or silently diverges turns the bench
+        # red instead of quietly falling back.
+        fn = build(use_pallas=True)  # raises -> red artifact
+        fn_xla = build(use_pallas=False)
+        got = fn(params_c, unet_p_c, unet_s_c, dev_batch)["face"]
+        ref = fn_xla(params_c, unet_p_c, unet_s_c, dev_batch)["face"]
+        import numpy as np
+        err = float(np.max(np.abs(np.asarray(got, np.float32)
+                                  - np.asarray(ref, np.float32))))
+        # bf16 pixels quantize at ~2^-9; accumulated order differences
+        # across the fused U-Net stay well under this bound in practice
+        if err > 5e-2:
+            print(f"# KERNEL PARITY FAILURE: pallas vs XLA max|diff|={err}",
+                  file=sys.stderr)
+            sys.exit(1)
+        print(f"# pallas-vs-XLA parity ok: max|diff|={err:.4g}",
               file=sys.stderr)
+    else:
         fn = build(use_pallas=False)
 
     # steady-state timing; NOTE: force a host readback to synchronize —

@@ -27,7 +27,11 @@ def main():
     parser.add_argument("--bf16", action="store_true",
                         help="serve in bfloat16 (enables the fully-fused "
                              "Pallas U-Net path on TPU, ~1.4x; outputs "
-                             "differ from fp32 by <= the bf16 quantum)")
+                             "differ from fp32 by <= the bf16 quantum). "
+                             "Already the default on TPU backends.")
+    parser.add_argument("--fp32", action="store_true",
+                        help="force float32 serving (opts out of the TPU "
+                             "bf16 default; loses the fused U-Net path)")
     parser.add_argument("--export_video", action="store_true",
                         help="also mux the frames (+ audio.wav if present) "
                              "into rendering_result/<out>/result.avi")
@@ -57,8 +61,17 @@ def main():
     from speech2lip_tpu.train.train_step import TrainState
 
     cfg = load_config(args.config)
-    if args.bf16:
+    # bf16 is the measured production configuration on TPU (bench.py) —
+    # make it the serving default there so the out-of-box path runs the
+    # headline fused kernels; fp32 stays available via --fp32
+    if args.fp32:
+        cfg["model"]["compute_dtype"] = "float32"
+    elif args.bf16:
         cfg["model"]["compute_dtype"] = "bfloat16"
+    elif (jax.default_backend() not in ("cpu",)
+          and cfg["model"].get("compute_dtype", "float32") == "float32"):
+        cfg["model"]["compute_dtype"] = "bfloat16"
+        print("TPU backend: serving in bfloat16 (pass --fp32 to override)")
     mode = "test" if args.use_new_audio else "val"
     ds = LipDataset(cfg["data"]["path"], mode, cfg)
 

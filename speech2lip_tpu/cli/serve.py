@@ -14,10 +14,18 @@ Request protocol (one file per request dropped into QUEUE_DIR):
     <identity_index>__<request_id>.npy   DeepSpeech windows [N, 16, 29]
     <identity_index>__<request_id>.wav   raw speech (requires --deepspeech,
                                          or mel mode via use_audio_mel)
+Atomic handoff: clients SHOULD write to a temporary name (no ``__`` or a
+different extension) and ``os.rename`` into the queue — renames within a
+directory are atomic, so the daemon never sees a half-written file.  As a
+second line of defense the daemon skips files modified within the last
+``--grace`` seconds and retries a failed parse once on the next poll
+before giving up (so a slow non-atomic writer loses nothing).
+
 Responses: frames at OUT_DIR/<request_id>/%05d.jpg (BGR, like the
-reference's writer) and OUT_DIR/<request_id>.done written last; failures
-leave <request_id>.err with the message.  --once drains the queue and
-exits (used by tests); otherwise the daemon polls.
+reference's writer) and OUT_DIR/<request_id>.done written last; requests
+that fail twice are removed and leave <request_id>.err with the message.
+--once drains the queue and exits (used by tests); otherwise the daemon
+polls.
 """
 
 from __future__ import annotations
@@ -79,6 +87,9 @@ def main():
     ap.add_argument("--poll", type=float, default=0.5)
     ap.add_argument("--once", action="store_true")
     ap.add_argument("--deepspeech", type=str, default=None)
+    ap.add_argument("--grace", type=float, default=0.0, help=(
+        "skip queue files modified within this many seconds (guards "
+        "against non-atomic client writes; 0 disables)"))
     args = ap.parse_args()
 
     import cv2
@@ -130,7 +141,13 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     print(f"serving {len(identities)} identities from {args.queue}")
 
+    fail_counts = {}
+
     def handle(fname):
+        """Process one queue file.  Returns True when the file reached a
+        terminal state (rendered, or failed twice and err'd); False when
+        it was kept in the queue for one retry (transient/mid-write
+        reads must not permanently drop a request)."""
         stem = os.path.splitext(fname)[0]
         ident_s, _, req = stem.partition("__")
         path = os.path.join(args.queue, fname)
@@ -157,20 +174,38 @@ def main():
             with open(os.path.join(args.out, req + ".done"), "w") as f:
                 f.write(str(n))
             print(f"request {req}: {n} frames for identity {ident}")
-        except Exception as e:  # leave a breadcrumb, keep serving
+            os.remove(path)
+            fail_counts.pop(fname, None)
+            return True
+        except Exception as e:  # keep serving; retry once before dropping
+            fail_counts[fname] = fail_counts.get(fname, 0) + 1
+            if fail_counts[fname] < 2:
+                print(f"request {req} failed ({e}); will retry")
+                return False
             with open(os.path.join(args.out, req + ".err"), "w") as f:
                 f.write(f"{type(e).__name__}: {e}")
             print(f"request {req} FAILED: {e}")
-        finally:
-            os.remove(path)
+            if os.path.exists(path):
+                os.remove(path)
+            fail_counts.pop(fname, None)
+            return True
+
+    def _queue_files():
+        return sorted(f for f in os.listdir(args.queue)
+                      if f.endswith((".npy", ".wav")) and "__" in f)
 
     while True:
-        pending = sorted(f for f in os.listdir(args.queue)
-                         if f.endswith((".npy", ".wav")) and "__" in f)
-        for fname in pending:
-            handle(fname)
+        now = time.time()
+        pending = [f for f in _queue_files()
+                   if args.grace <= 0 or now - os.path.getmtime(
+                       os.path.join(args.queue, f)) >= args.grace]
+        resolved = sum(handle(fname) for fname in pending)
         if args.once:
-            break
+            # drain fully: failed-once files get their retry this pass;
+            # stop when the queue is empty or nothing can make progress
+            if not _queue_files() or (not resolved and not pending):
+                break
+            continue
         if not pending:
             time.sleep(args.poll)
 

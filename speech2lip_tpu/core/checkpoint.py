@@ -190,14 +190,20 @@ class CheckpointManager:
 
     def save_best(self, tree, **scalars):
         """Timestamped backup of the previous best, then overwrite
-        (reference checkpoints.py:43-53)."""
+        (reference checkpoints.py:43-53).  Sharded mode: only process 0
+        copies the backup, and a barrier keeps the other hosts from
+        overwriting shard files while the copy is in flight."""
         best = self._p(self.BEST)
-        if os.path.exists(best):
+        backup_here = not self.sharded or jax.process_index() == 0
+        if os.path.exists(best) and backup_here:
             ts = datetime.datetime.now().strftime("%Y%m%d%H%M%S")
             if os.path.isdir(best):
                 shutil.copytree(best, best + "." + ts)
             else:
                 shutil.copy2(best, best + "." + ts)
+        if self.sharded:
+            from speech2lip_tpu.core.checkpoint_sharded import _barrier
+            _barrier("save_best_backup_done")
         self._write(best, tree, scalars, async_=False)
 
     def latest_step_file(self) -> Optional[str]:

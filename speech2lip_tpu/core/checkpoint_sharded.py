@@ -52,10 +52,24 @@ def _slice_tuple(index, shape) -> Tuple[Tuple[int, int], ...]:
     return tuple(out)
 
 
+def _barrier(name: str):
+    """Cross-process sync point (no-op single-process, incl. CPU tests)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
 def save_sharded(dir_path: str, tree: Any,
                  scalars: Optional[Dict[str, Any]] = None):
     """Write ``tree`` (jax.Arrays, possibly sharded over a mesh) to
-    ``dir_path`` with each process persisting only its own shards."""
+    ``dir_path`` with each process persisting only its own shards.
+
+    MUST be called on every process (each persists shards the others
+    don't have); the CheckpointManager routes saves to all processes when
+    sharded mode is on.  Barriers make ``meta.json`` a completion marker:
+    it is written only after every process has finished its shard files,
+    and no process returns until meta.json exists — so a reader (or a
+    save_best backup) that sees meta.json sees a complete checkpoint."""
     proc = jax.process_index()
     os.makedirs(dir_path, exist_ok=True)
     blocks: Dict[str, np.ndarray] = {}
@@ -87,10 +101,12 @@ def save_sharded(dir_path: str, tree: Any,
     # left by an earlier save with a larger topology.
     with open(os.path.join(dir_path, f"index-p{proc}.json"), "w") as f:
         json.dump(index, f)
+    _barrier("save_sharded_shards_done")  # all shard+index files on disk
     if proc == 0:
         with open(os.path.join(dir_path, "meta.json"), "w") as f:
             json.dump({"processes": jax.process_count(),
                        "scalars": scalars or {}}, f)
+    _barrier("save_sharded_meta_done")  # meta marks completion for all
 
 
 def restore_sharded(dir_path: str, like: Any

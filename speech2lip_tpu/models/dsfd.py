@@ -218,8 +218,12 @@ def decode_detections(outs, threshold: float = 0.5,
 
 
 def detect_faces(params, state, image: jnp.ndarray, threshold: float = 0.5,
-                 nms_iou: float = 0.3) -> np.ndarray:
+                 nms_iou: float = 0.3, apply_fn=None) -> np.ndarray:
     """[H, W, 3] RGB in [0, 255] → [N, 5] (x1,y1,x2,y2,conf) boxes, the
-    reference's build_detector thresholds (detect_landmarks.py:38-40)."""
-    outs = apply(params, state, image[None])
+    reference's build_detector thresholds (detect_landmarks.py:38-40).
+
+    ``apply_fn`` lets per-frame callers pass ``jax.jit(apply)`` built once
+    outside the loop (the un-jitted ResNet-152 forward dispatches eagerly
+    op-by-op otherwise)."""
+    outs = (apply_fn or apply)(params, state, image[None])
     return nms(decode_detections(outs, threshold), nms_iou)

@@ -79,15 +79,21 @@ def run_step1(frames_dir: str, out_lms_dir: str, out_bbox_path: str,
     os.makedirs(out_lms_dir, exist_ok=True)
     bbox_dict = {}
     files = sorted(f for f in os.listdir(frames_dir) if f.endswith(".jpg"))
+    dsfd_apply = None
+    if dsfd is not None:
+        from speech2lip_tpu.models import dsfd as dsfd_mod
+        dsfd_apply = jax.jit(dsfd_mod.apply)  # one compile for all frames
     for fname in files:
         img = cv2.cvtColor(cv2.imread(os.path.join(frames_dir, fname)),
                            cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        conf = 1.0  # fallback full-frame boxes carry confidence 1.0
         if dsfd is not None:
-            from speech2lip_tpu.models import dsfd as dsfd_mod
             dets = dsfd_mod.detect_faces(dsfd[0], dsfd[1],
-                                         jnp.asarray(img * 255.0))
+                                         jnp.asarray(img * 255.0),
+                                         apply_fn=dsfd_apply)
             if len(dets):
                 bbox = tuple(int(v) for v in dets[0][:4])
+                conf = float(dets[0][4])
             else:
                 h, w = img.shape[:2]
                 bbox = (0, 0, w, h)
@@ -97,6 +103,7 @@ def run_step1(frames_dir: str, out_lms_dir: str, out_bbox_path: str,
                                      jnp.asarray(img * 255.0))
             if len(dets):
                 bbox = tuple(int(v) for v in dets[0][:4])
+                conf = float(dets[0][4])
             else:
                 h, w = img.shape[:2]
                 bbox = (0, 0, w, h)
@@ -114,6 +121,8 @@ def run_step1(frames_dir: str, out_lms_dir: str, out_bbox_path: str,
         lms = detect_landmarks(fan_params, fan_state, img, bbox)
         np.savetxt(os.path.join(out_lms_dir,
                                 fname.replace(".jpg", ".lms")), lms)
-        bbox_dict[fname] = np.array([*bbox, 1.0], np.float32)
+        # full (x1,y1,x2,y2,conf) row, like the reference's face_bbox_dict
+        # (detect_landmarks.py saves the detector's confidence column)
+        bbox_dict[fname] = np.array([*bbox, conf], np.float32)
     np.save(out_bbox_path, bbox_dict, allow_pickle=True)
     return bbox_dict

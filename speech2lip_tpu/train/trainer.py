@@ -341,8 +341,12 @@ def fit(cfg: Dict[str, Any], max_iters: Optional[int] = None,
                 metrics_w.scalars(it, m, prefix="train/")
                 t0b = time.time()
 
+            # sharded checkpoints require EVERY process to write its own
+            # shard files (checkpoint_sharded.save_sharded); only the dense
+            # format is process-0-only (reference train.py:235-244 gating)
+            ckpt_here = is_main_process() or ckpt_mgr.sharded
             if (tr["checkpoint_every"] > 0 and it % tr["checkpoint_every"] == 0
-                    and is_main_process()):
+                    and ckpt_here):
                 bad = check_weights(state.params)
                 if bad:
                     raise FloatingPointError(
@@ -350,7 +354,7 @@ def fit(cfg: Dict[str, Any], max_iters: Optional[int] = None,
                 ckpt_mgr.save_latest(state, async_=True, epoch_it=epoch_it,
                                      it=it, loss_val_best=metric_best)
             if tr["backup_every"] > 0 and it % tr["backup_every"] == 0 \
-                    and is_main_process():
+                    and ckpt_here:
                 ckpt_mgr.save_step(state, it, async_=True, epoch_it=epoch_it,
                                    loss_val_best=metric_best)
 
@@ -359,10 +363,14 @@ def fit(cfg: Dict[str, Any], max_iters: Optional[int] = None,
                 visualize(state.params, cfg, val_ds, metrics_w, it)
 
             if (tr["validate_every"] > 0 and it % tr["validate_every"] == 0
-                    and it != 0 and is_main_process()):
+                    and it != 0 and ckpt_here):
+                # every process evaluates the same (unsliced) val split, so
+                # the best-metric decision agrees across hosts and sharded
+                # save_best runs collectively; logging stays process-0-only
                 psnr = evaluate_psnr(state.params, cfg, val_ds)
-                metrics_w.scalars(it, {"psnr": psnr}, prefix="val/")
-                logger.info("validation psnr=%.4f", psnr)
+                if is_main_process():
+                    metrics_w.scalars(it, {"psnr": psnr}, prefix="val/")
+                    logger.info("validation psnr=%.4f", psnr)
                 if psnr > metric_best:
                     metric_best = psnr
                     ckpt_mgr.save_best(state, epoch_it=epoch_it, it=it,

@@ -85,11 +85,17 @@ def _load_ref_cfg(tmp_path):
 
 def _stub_heavy_modules():
     """training.py imports lpips/torchvision/flowlib at module top; none is
-    installed (or importable) here and none is exercised by the parity paths
-    (perceptual loss stays off; visualize is never called)."""
+    installed (or importable) here.  The ``lpips`` module is satisfied by
+    the from-spec torch oracle (tools/lpips_oracle.py, pinned against our
+    JAX port in test_lpips_oracle.py) so the reference Trainer runs with
+    the perceptual loss ON; visualize is never called."""
     if "lpips" not in sys.modules:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from tools.lpips_oracle import LPIPS as OracleLPIPS
         lpips_stub = types.ModuleType("lpips")
-        lpips_stub.LPIPS = None  # only constructed when use_perceptual_loss
+        lpips_stub.LPIPS = OracleLPIPS
         sys.modules["lpips"] = lpips_stub
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
@@ -149,15 +155,19 @@ def ref(tmp_path_factory):
             batch_rays=LIP_H * LIP_W,
             use_audio_net=True, use_audio=True, use_time=True,
             use_post_fusion=True, w_post_fusion=1.0,
-            use_perceptual_loss=False,
+            use_perceptual_loss=True,  # ON via the lpips oracle stub
+            w_perceptual_loss=cfg["training"]["w_perceptual_loss"],
             use_syncloss=True, w_syncloss=cfg["training"]["w_syncloss"],
             use_fusion_face=True, fusion_lip_only=True)
     finally:
         ref_training.Trainer.load_checkpoint_syncnet = orig_load
 
-    from tools.convert_weights import convert_syncnet, convert_talking_face
+    from tools.convert_weights import (convert_lpips, convert_syncnet,
+                                       convert_talking_face)
     tf_p, unet_p, unet_s = convert_talking_face(model.state_dict())
     sync_p, sync_s = convert_syncnet(sync_ref.state_dict())
+    lp_sd = trainer.perceptual_loss_fn.state_dict()
+    lpips_p = jax.tree.map(jnp.asarray, convert_lpips(lp_sd, lp_sd))
     tf_p = jax.tree.map(jnp.asarray, tf_p)
     unet_p = jax.tree.map(jnp.asarray, unet_p)
     unet_s = jax.tree.map(jnp.asarray, unet_s)
@@ -165,7 +175,7 @@ def ref(tmp_path_factory):
     sync_s = jax.tree.map(jnp.asarray, sync_s)
     return dict(model=model, trainer=trainer, cfg=cfg, sync_ref=sync_ref,
                 tf_p=tf_p, unet_p=unet_p, unet_s=unet_s,
-                sync_p=sync_p, sync_s=sync_s)
+                sync_p=sync_p, sync_s=sync_s, lpips_p=lpips_p)
 
 
 def _ref_eval_lip(model, audio_np, t_index):
@@ -340,6 +350,33 @@ def test_canonical_depth_loss_parity(ref, rng):
                                    mask=jnp.asarray(loss_mask))
     np.testing.assert_allclose(float(ours), float(acc["loss"]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_perceptual_loss_parity(ref, rng):
+    """(d4) perceptual loss ON, through the reference's own
+    ``add_perceptual_loss`` (training.py:655-674) with the Trainer's
+    lpips module (the oracle) and the converted weights on our side —
+    both the lip form (no mask, training.py:421) and the face form
+    (all-ones mask, training.py:454-456)."""
+    from speech2lip_tpu.train import losses
+
+    pred = rng.uniform(0, 1, (1, FACE, FACE, 3)).astype(np.float32)
+    tgt = rng.uniform(0, 1, (1, FACE, FACE, 3)).astype(np.float32)
+    trainer = ref["trainer"]
+    w = float(trainer.w_perceptual_loss)
+
+    ones_mask = torch.ones(1, FACE, FACE, 3).permute(0, 3, 1, 2)
+    for mask in (None, ones_mask):
+        acc = {"loss": torch.tensor(0.0),
+               "loss_perceptual": torch.tensor(0.0)}
+        with torch.no_grad():
+            trainer.add_perceptual_loss(
+                torch.from_numpy(pred), torch.from_numpy(tgt), acc,
+                mask=mask, weights=w)
+        ours = losses.perceptual_loss(ref["lpips_p"], jnp.asarray(pred),
+                                      jnp.asarray(tgt), weight=w)
+        np.testing.assert_allclose(float(ours), float(acc["loss"]),
+                                   rtol=1e-4, atol=1e-8)
 
 
 def test_sync_contrastive_loss_parity(ref, rng):
