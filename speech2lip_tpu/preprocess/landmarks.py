@@ -52,12 +52,14 @@ def _crop_resize(img: np.ndarray, bbox, out: int = 256):
 
 
 def detect_landmarks(fan_params, fan_state, image: np.ndarray,
-                     bbox) -> np.ndarray:
+                     bbox, apply_fn=None) -> np.ndarray:
     """[H, W, 3] float RGB in [0,1] + face bbox -> [68, 2] landmarks in
-    image pixels."""
+    image pixels.  ``apply_fn``: optional pre-jitted ``fan.apply`` for
+    per-frame loops."""
     from speech2lip_tpu.models import fan
     crop, (scale, x0, y0) = _crop_resize(image, bbox)
-    heatmaps = fan.apply(fan_params, fan_state, jnp.asarray(crop)[None])[-1]
+    heatmaps = (apply_fn or fan.apply)(fan_params, fan_state,
+                                       jnp.asarray(crop)[None])[-1]
     pts = np.asarray(fan.decode_heatmaps(heatmaps))[0]  # 64×64 heatmap px
     pts = (pts + 0.5) * 4.0  # heatmap -> 256-crop pixels
     pts = pts * scale + np.array([x0, y0])

