@@ -69,8 +69,15 @@ class MultiSpeakerServer:
 
     def __init__(self, cfg: Dict[str, Any], param_sets: List[tuple],
                  lip_positions: List[tuple], window: Optional[tuple] = None,
-                 use_pallas: Optional[bool] = None):
-        """param_sets: [(params, unet_params, unet_state)] per identity."""
+                 use_pallas: Optional[bool] = None, mesh=None):
+        """param_sets: [(params, unet_params, unet_state)] per identity.
+
+        ``mesh``: optional jax.sharding.Mesh — the stacked identity axis of
+        each offset group shards over the mesh's 'data' axis, so the
+        vmapped program serves identities on different chips in one SPMD
+        call (multi-chip serving; group sizes must divide the axis or be
+        1).  Frame batches passed to render_all are sharded the same way.
+        """
         import functools
         d = cfg["data"]
         lip_h, lip_w = int(d["height"]), int(d["width"])
@@ -100,6 +107,17 @@ class MultiSpeakerServer:
                               *[param_sets[i] for i in ids])
             for off, ids in self.groups.items()
         }
+        self._mesh = mesh
+        self._identity_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._identity_sharding = NamedSharding(mesh,
+                                                    PartitionSpec("data"))
+            self._stacked = {
+                off: jax.device_put(tree, self._identity_sharding)
+                if len(self.groups[off]) > 1 else tree
+                for off, tree in self._stacked.items()
+            }
 
         def render_one(params3, batch, lip_x, lip_y, pallas=False):
             p, up, us = params3
@@ -116,10 +134,26 @@ class MultiSpeakerServer:
         # (the vmapped program keeps the XLA graph — vmap over the manual-
         # DMA Pallas kernels adds a grid dim Mosaic hasn't been validated
         # on here; the sequential fused path below covers large batches)
+        def group_fn(off, n_ids):
+            vm = jax.vmap(functools.partial(render_one, lip_x=off[0],
+                                            lip_y=off[1]))
+            if mesh is not None and n_ids > 1 \
+                    and n_ids % mesh.shape["data"] == 0:
+                # multi-chip: shard_map over the identity axis — each device
+                # renders its own identity slice.  (Plain jit on the vmapped
+                # program does NOT partition here: vmap batches the U-Net
+                # convs via feature_group_count, which the SPMD partitioner
+                # cannot split across the group axis.)
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+                vm = shard_map(vm, mesh=mesh,
+                               in_specs=(P("data"), P("data")),
+                               out_specs=P("data"), check_rep=False)
+            return jax.jit(vm)
+
         self._group_fns = {
-            off: jax.jit(jax.vmap(functools.partial(
-                render_one, lip_x=off[0], lip_y=off[1])))
-            for off in self.groups
+            off: group_fn(off, len(ids))
+            for off, ids in self.groups.items()
         }
         # per-offset single-identity programs on the full Pallas path
         # (fused U-Net + window/MLP kernels): identity params are traced
@@ -163,6 +197,9 @@ class MultiSpeakerServer:
                 continue
             stacked_batch = jax.tree.map(
                 lambda *xs: jnp.stack(xs), *[batches[i] for i in ids])
+            if self._identity_sharding is not None and len(ids) > 1:
+                stacked_batch = jax.device_put(stacked_batch,
+                                               self._identity_sharding)
             res = self._group_fns[off](self._stacked[off], stacked_batch)
             for k, i in enumerate(ids):
                 out[i] = jax.tree.map(lambda x: x[k], res)

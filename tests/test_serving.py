@@ -143,6 +143,54 @@ def test_multispeaker_render_all_vmapped(rng):
                            np.asarray(outs[2]["face"]))
 
 
+def test_multispeaker_identity_sharded_mesh(rng):
+    """Multi-chip serving (BASELINE config 5 scale-out): 8 identities
+    sharded one-per-device over the 8-device CPU mesh produce exactly the
+    single-device vmapped outputs."""
+    from speech2lip_tpu.core.config import default_config
+    from speech2lip_tpu.infer.pipeline import MultiSpeakerServer
+    from speech2lip_tpu.models import talking_face as tf
+    from speech2lip_tpu.models import unet_light
+    from speech2lip_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+
+    face, lip = 32, 16
+    cfg = default_config()
+    cfg["model"]["canonical_depth_height"] = face
+    cfg["model"]["canonical_depth_width"] = face
+    cfg["data"]["height"] = cfg["data"]["width"] = lip
+
+    param_sets = []
+    for s in range(8):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(s))
+        param_sets.append((tf.init(k1, cfg), *unet_light.init(k2)))
+
+    batch0, geo = synthetic_batch(2, face=face, lip_h=lip, lip_w=lip)
+    batches = []
+    for s in range(8):
+        b = dict(jax.tree.map(jnp.asarray, batch0))
+        b["audio"] = b["audio"] + 0.1 * s
+        batches.append(b)
+    positions = [(geo["lip_x"], geo["lip_y"])] * 8
+
+    mesh = make_mesh((8, 1))
+    sharded = MultiSpeakerServer(cfg, param_sets, positions,
+                                 use_pallas=False, mesh=mesh)
+    plain = MultiSpeakerServer(cfg, param_sets, positions, use_pallas=False)
+
+    outs_s = sharded.render_all(batches)
+    outs_p = plain.render_all(batches)
+    off = next(iter(sharded.groups))
+    leaf = jax.tree.leaves(sharded._stacked[off])[0]
+    assert len(leaf.sharding.device_set) == 8  # actually distributed
+    for i in range(8):
+        np.testing.assert_allclose(np.asarray(outs_s[i]["face"]),
+                                   np.asarray(outs_p[i]["face"]),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_serve_cli_filesystem_queue(tmp_path, monkeypatch):
     """cli.serve drains a filesystem queue: .npy audio-window requests per
     identity -> frames + .done markers; bad requests leave .err."""

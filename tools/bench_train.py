@@ -14,6 +14,113 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def batch_scaling():
+    """Diagnose train-step batch amortization (VERDICT r2 weak #5 / next #4).
+
+    Measures, at May geometry in bf16:
+      - full step ms/frame at batch 1/2/4/8;
+      - the isolated U-Net forward+backward ms/frame at the same batches;
+      - the isolated lip-MLP(+ensemble) forward+backward ms/frame;
+      - a step with the post-fusion+U-Net path ablated (lip losses only).
+
+    If the U-Net fwd+bwd is batch-insensitive per frame (already saturating
+    the chip at batch 1 — 500² activations give ~250k-way parallelism),
+    weak amortization of the full step is the roofline, not a bug.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from speech2lip_tpu.core.config import default_config
+    from speech2lip_tpu.data.synthetic import synthetic_batch
+    from speech2lip_tpu.data.windows import compute_warp_window
+    from speech2lip_tpu.models import lpips as lpips_mod
+    from speech2lip_tpu.models import talking_face as tfm
+    from speech2lip_tpu.models import unet_light
+    from speech2lip_tpu.train.train_step import (StepStatics, TrainState,
+                                                 make_optimizer,
+                                                 make_train_step,
+                                                 render_lip_ensemble)
+
+    face, lip_h, lip_w = 500, 80, 120
+    cfg = default_config()
+    cfg["model"]["canonical_depth_height"] = face
+    cfg["model"]["canonical_depth_width"] = face
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    params = tfm.init(keys[0], cfg)
+    unet_p, unet_s = unet_light.init(keys[1])
+    frozen = {"lpips": lpips_mod.init(keys[2])}
+    opt = make_optimizer(cfg)
+
+    def bench(fn, *args, iters=10):
+        out = fn(*args)
+        jax.tree.leaves(out)[0].block_until_ready()
+        float(jnp.sum(jax.tree.leaves(out)[0]))  # host readback sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        float(jnp.sum(jax.tree.leaves(out)[0]))
+        return (time.perf_counter() - t0) / iters
+
+    cast = lambda t: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+
+    for b in (1, 2, 4, 8):
+        raw, geo = synthetic_batch(b, face=face, lip_h=lip_h, lip_w=lip_w)
+        box = tfm.expanded_lip_box(lip_h, lip_w, geo["lip_x"], geo["lip_y"])
+        window = compute_warp_window([raw["coord"][i] for i in range(b)],
+                                     box, face, face, margin=16)
+        batch = jax.tree.map(jnp.asarray, raw)
+        st = StepStatics(
+            lip_h=lip_h, lip_w=lip_w, lip_x=geo["lip_x"], lip_y=geo["lip_y"],
+            face_h=face, face_w=face, focal=1200.0,
+            face_bbox=(50, 50, 450, 450), window=window,
+            compute_dtype="bfloat16")
+        trainable = {"model": params, "unet": unet_p}
+        state0 = TrainState(params, unet_p, unet_s, opt.init(trainable),
+                            jnp.int32(0))
+
+        # full step
+        step = make_train_step(opt, st, frozen, donate=False)
+        dt_full = bench(lambda: step(state0, batch, jax.random.PRNGKey(1)))
+
+        # lip-losses-only step (post-fusion + U-Net + depth ablated)
+        st_lip = StepStatics(
+            lip_h=lip_h, lip_w=lip_w, lip_x=geo["lip_x"], lip_y=geo["lip_y"],
+            face_h=face, face_w=face, focal=1200.0,
+            face_bbox=(50, 50, 450, 450), window=window,
+            compute_dtype="bfloat16", use_canonical_depth_loss=False,
+            use_perceptual=False)
+
+        def lip_only_loss(p, a, rgb, key):
+            out = render_lip_ensemble(p, a, batch["index"].astype(
+                jnp.float32), key, st_lip)
+            return jnp.mean((out - rgb) ** 2)
+
+        lip_grad = jax.jit(jax.grad(lip_only_loss))
+        p_c = cast(params)
+        dt_lip = bench(lambda: lip_grad(p_c,
+                                        batch["audio"].astype(jnp.bfloat16),
+                                        batch["rgb"].astype(jnp.bfloat16),
+                                        jax.random.PRNGKey(1)))
+
+        # isolated U-Net fwd+bwd at 500²
+        x = jnp.asarray(raw["rgb_face_ori"], jnp.bfloat16)
+
+        def unet_loss(up, xx):
+            y, _ = unet_light.apply(up, cast(unet_s), xx, train=True)
+            return jnp.mean((y - xx) ** 2)
+
+        unet_grad = jax.jit(jax.grad(unet_loss))
+        up_c = cast(unet_p)
+        dt_unet = bench(lambda: unet_grad(up_c, x))
+
+        print(f"batch {b}: full {dt_full * 1e3 / b:6.1f} ms/frame "
+              f"(step {dt_full * 1e3:6.1f}) | unet f+b "
+              f"{dt_unet * 1e3 / b:6.1f} ms/frame | lip-mlp f+b "
+              f"{dt_lip * 1e3 / b:6.1f} ms/frame")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -73,4 +180,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--batch-scaling" in sys.argv:
+        batch_scaling()
+    else:
+        main()
