@@ -82,6 +82,8 @@ class LipDataset:
         self.canonical_idx = int(data_cfg.get("canonical_idx", 0))
         self.use_syncloss = bool(cfg["training"]["use_syncloss"])
         self.use_canonical_depth = bool(cfg["model"]["use_canonical_depth"])
+        self.use_blackaug = bool(cfg["model"].get("use_post_fusion_blackaug",
+                                                  False))
 
         self.images_dir = os.path.join(root, "images")
         self.coords_dir = os.path.join(root, "coords")
@@ -251,7 +253,27 @@ class LipDataset:
 
         if self.use_syncloss and self.mode == "train" and self.orig_mel is not None:
             s.update(self._sync_extras(pos))
+        if self.mode == "train" and "coord" in s:
+            s.update(self.blackaug_statics(s["coord"]))
         return s
+
+    def blackaug_statics(self, coord: np.ndarray) -> Dict[str, Any]:
+        """Host-precomputed static warps for the blackaug branch: the
+        canonical face and its >0 mask warped by this frame's ``coord``
+        (both are dataset constants).  Computing them here instead of in
+        the jitted step removes its two full-frame 500² gathers — ~70% of
+        the TPU step time — with bit-identical fp32 results
+        (ops.grid_sample.grid_sample_np mirrors the device op
+        op-for-op)."""
+        if not self.use_blackaug:
+            return {}
+        from speech2lip_tpu.ops.grid_sample import grid_sample_np
+        warped = grid_sample_np(self.rgb_face_zero[None], coord[None])[0]
+        m = grid_sample_np(
+            (self.rgb_face_zero > 0).astype(np.float32)[None],
+            coord[None])[0]
+        return {"warped_base": warped,
+                "blackaug_face_mask": (m == 1.0).astype(np.float32)}
 
     # ------------------------------------------------------------------
     # sync-loss extras (reference someones_lip_dataset.py:328-385)

@@ -1,0 +1,225 @@
+"""Static-scene serving renderer: U-Net on a lip-window crop only.
+
+The new-audio serving regime (reference dataset 'test' mode,
+someones_lip_dataset.py:299-314; our ``new_audio_frames`` / the serve
+daemon) reuses the canonical frame's artifacts for every rendered frame:
+``rgb_face_zero``/``rgb_face_ori``, the lip mask and the ``coord`` grid are
+per-identity constants — only the audio window and the time index stream.
+
+Consequence: the post-fusion U-Net input differs from a fixed per-identity
+image ONLY inside the warp window (outside it the composite is identically
+``rgb_gt``), and the U-Net is convolutional with a finite receptive field
+(~24 px at input scale: DoubleConvs at scales 1/2/4 plus the upsamples).
+So the full-frame output can be computed ONCE per identity, and each frame
+only needs the U-Net on a haloed crop around the window, pasted back:
+
+    per-frame U-Net work: (window + 2·64)² instead of 500²  (≈ 3-4× less)
+
+Correctness requires translation-equivariant ops: crops are %4-aligned so
+both maxpool levels keep the full-image pooling grid, and upsampling uses
+the exact-2× closed form (`unet_light._up2x` on XLA, the fused kernel's
+row lerp on TPU) rather than global align-corners sampling.  With halo ≥
+receptive field, interior equality to the full-frame computation is exact
+(fp32) — pinned by tests/test_static_scene.py.
+
+Identities sharing geometry share ONE compiled program (the pytrees are
+traced arguments; the static geometry is the compile-cache key), so an
+N-identity server costs one compile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from speech2lip_tpu.models import talking_face as tf
+from speech2lip_tpu.models import unet_light
+from speech2lip_tpu.infer.renderer import render_lip_batch
+
+# conv receptive-field radius at input scale: DoubleConv(±2 @1) +
+# DoubleConv(±4 @2) + DoubleConv(±8 @4) + up-path DoubleConvs (±4, ±2)
+# + upsample interpolation slop -> 24 px; HALO rounds up to a %4 multiple
+HALO = 32
+PASTE_MARGIN = 32   # interior paste region = window ⊕ PASTE_MARGIN ≥ RF
+
+
+def _align4(v: int, up: bool) -> int:
+    return -(-v // 4) * 4 if up else (v // 4) * 4
+
+
+def crop_geometry(window: Tuple[int, int, int, int], face_h: int,
+                  face_w: int) -> Optional[Dict[str, int]]:
+    """(crop, interior) rectangles for a validated warp window; None when
+    the window sits too close to the frame edge for a full halo (caller
+    falls back to the full-frame path)."""
+    wy0, wx0, wh, ww = window
+    iy0 = _align4(wy0 - PASTE_MARGIN, up=False)
+    ix0 = _align4(wx0 - PASTE_MARGIN, up=False)
+    iy1 = _align4(wy0 + wh + PASTE_MARGIN, up=True)
+    ix1 = _align4(wx0 + ww + PASTE_MARGIN, up=True)
+    cy0, cx0 = iy0 - HALO, ix0 - HALO
+    cy1, cx1 = iy1 + HALO, ix1 + HALO
+    if cy0 < 0 or cx0 < 0 or cy1 > face_h or cx1 > face_w:
+        return None
+    return {"cy0": cy0, "cx0": cx0, "ch": cy1 - cy0, "cw": cx1 - cx0,
+            "iy0": iy0, "ix0": ix0, "ih": iy1 - iy0, "iw": ix1 - ix0}
+
+
+def _apply_unet(unet_params, unet_state, x, use_pallas: bool):
+    if use_pallas and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+        return unet_light.apply_infer_fused(unet_params, unet_state, x)
+    out, _ = unet_light.apply(unet_params, unet_state, x, train=False,
+                              exact2x=True)
+    return out
+
+
+def _composite(params, unet_params, unet_state, scene, coord, audio, t,
+               *, lip_h, lip_w, lip_x, lip_y, window, expand_divisor,
+               use_pallas, cdt):
+    fz, gt, mask = scene
+    b = audio.shape[0]
+    rgb_lip = render_lip_batch(params, audio, t.astype(jnp.float32),
+                               lip_h, lip_w, use_pallas=use_pallas,
+                               compute_dtype=cdt)
+    tile = lambda x: jnp.broadcast_to(x, (b,) + x.shape[1:])
+    unet_in, _, _ = tf.post_fusion_composite(
+        rgb_lip.astype(cdt), tile(fz), tile(gt), tile(mask), tile(coord),
+        lip_x, lip_y, expand_divisor=expand_divisor, window=window,
+        use_pallas=use_pallas)
+    return unet_in.astype(cdt)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_render(lip_h, lip_w, lip_x, lip_y, window, geo_items,
+                     expand_divisor, use_pallas, cdt_name, face_h, face_w):
+    cdt = jnp.dtype(cdt_name)
+    geo = dict(geo_items) if geo_items is not None else None
+    kw = dict(lip_h=lip_h, lip_w=lip_w, lip_x=lip_x, lip_y=lip_y,
+              window=window, expand_divisor=expand_divisor,
+              use_pallas=use_pallas, cdt=cdt)
+
+    @jax.jit
+    def fn(params, unet_params, unet_state, scene, coord, static_face,
+           audio, t):
+        b = audio.shape[0]
+        unet_in = _composite(params, unet_params, unet_state, scene, coord,
+                             audio, t, **kw)
+        if geo is None:
+            return _apply_unet(unet_params, unet_state, unet_in,
+                               use_pallas).astype(jnp.float32)
+        g = geo
+        crop = jax.lax.slice(unet_in, (0, g["cy0"], g["cx0"], 0),
+                             (b, g["cy0"] + g["ch"], g["cx0"] + g["cw"], 3))
+        out_crop = _apply_unet(unet_params, unet_state, crop, use_pallas)
+        interior = jax.lax.slice(
+            out_crop, (0, g["iy0"] - g["cy0"], g["ix0"] - g["cx0"], 0),
+            (b, g["iy0"] - g["cy0"] + g["ih"],
+             g["ix0"] - g["cx0"] + g["iw"], 3))
+        face = jnp.broadcast_to(static_face.astype(interior.dtype),
+                                (b,) + static_face.shape[1:])
+        face = jax.lax.dynamic_update_slice(
+            face, interior, (0, g["iy0"], g["ix0"], 0))
+        return face.astype(jnp.float32)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_render_full(lip_h, lip_w, lip_x, lip_y, window, expand_divisor,
+                          use_pallas, cdt_name):
+    """Full-frame program with the same upsample semantics (parity/bench)."""
+    cdt = jnp.dtype(cdt_name)
+    kw = dict(lip_h=lip_h, lip_w=lip_w, lip_x=lip_x, lip_y=lip_y,
+              window=window, expand_divisor=expand_divisor,
+              use_pallas=use_pallas, cdt=cdt)
+
+    @jax.jit
+    def fn(params, unet_params, unet_state, scene, coord, audio, t):
+        unet_in = _composite(params, unet_params, unet_state, scene, coord,
+                             audio, t, **kw)
+        return _apply_unet(unet_params, unet_state, unet_in,
+                           use_pallas).astype(jnp.float32)
+
+    return fn
+
+
+class StaticSceneRenderer:
+    """Compiled per-identity fast renderer for streaming audio.
+
+    Args:
+      cfg: config dict (geometry + compute dtype);
+      params/unet_params/unet_state: trained pytrees;
+      base: the canonical-frame sample dict (``ds.load_frame(0)`` in test
+        mode) — rgb_face_zero, rgb_face_ori, mask_lip_canonical, coord;
+      window: validated warp window (data.windows);
+      lip_x/lip_y: lip paste offsets.
+
+    Falls back to the full-frame U-Net when no crop geometry exists.
+    """
+
+    def __init__(self, cfg: Dict[str, Any], params, unet_params, unet_state,
+                 base: Dict[str, Any], window: Tuple[int, int, int, int],
+                 lip_x: int, lip_y: int,
+                 use_pallas: Optional[bool] = None):
+        d = cfg["data"]
+        self.lip_h = int(d["height"])
+        self.lip_w = int(d["width"])
+        self.lip_x, self.lip_y = int(lip_x), int(lip_y)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() in ("tpu", "axon")
+        self.use_pallas = bool(use_pallas)
+        cdt = jnp.dtype(cfg["model"].get("compute_dtype", "float32"))
+        if self.use_pallas:
+            cdt = jnp.dtype(jnp.bfloat16)  # fused kernels are bf16-only
+        self.compute_dtype = cdt
+
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(cdt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+        self.params = cast(params)
+        self.unet_params = cast(unet_params)
+        self.unet_state = cast(unet_state)
+
+        fz = jnp.asarray(base["rgb_face_zero"], cdt)[None]
+        gt = jnp.asarray(base["rgb_face_ori"], cdt)[None]
+        mask = jnp.asarray(base["mask_lip_canonical"], cdt)[None]
+        self.coord = jnp.asarray(base["coord"], jnp.float32)[None]
+        self.face_h, self.face_w = fz.shape[1:3]
+        self.scene = (fz, gt, mask)
+        self.window = tuple(int(v) for v in window)
+        self.geo = crop_geometry(self.window, self.face_h, self.face_w)
+        self.expand_divisor = int(d.get("expand_mask_divisor", 5))
+
+        # one-time full-frame output of the static scene: outside the warp
+        # window the composite is identically rgb_gt
+        self.static_face = jax.block_until_ready(
+            _apply_unet(self.unet_params, self.unet_state, gt,
+                        self.use_pallas))
+
+        # identities with the same geometry share ONE compiled program
+        # (pytrees are traced args; the static geometry is the cache key)
+        self._fn = _compiled_render(
+            self.lip_h, self.lip_w, self.lip_x, self.lip_y, self.window,
+            tuple(sorted(self.geo.items())) if self.geo is not None
+            else None,
+            self.expand_divisor, self.use_pallas, str(self.compute_dtype),
+            self.face_h, self.face_w)
+
+    def __call__(self, audio, t_indices):
+        """audio: [B, 16, 29]; t_indices: [B] -> [B, H, W, 3] float32."""
+        return self._fn(self.params, self.unet_params, self.unet_state,
+                        self.scene, self.coord, self.static_face,
+                        jnp.asarray(audio), jnp.asarray(t_indices))
+
+    def render_full(self, audio, t_indices):
+        """Full-frame reference path (same upsample semantics) for parity
+        checks and benchmarking."""
+        fn = _compiled_render_full(
+            self.lip_h, self.lip_w, self.lip_x, self.lip_y, self.window,
+            self.expand_divisor, self.use_pallas, str(self.compute_dtype))
+        return fn(self.params, self.unet_params, self.unet_state,
+                  self.scene, self.coord, jnp.asarray(audio),
+                  jnp.asarray(t_indices))

@@ -310,7 +310,8 @@ def post_fusion_composite(rgb_lip, face_canonical, rgb_gt, mask_lip,
                           expand_divisor: int = 5,
                           blackaug_noise: Optional[tuple] = None,
                           window: Optional[tuple] = None,
-                          use_pallas: bool = False):
+                          use_pallas: bool = False,
+                          static_warp: Optional[tuple] = None):
     """Composite the rendered lip into the observed-pose face.
 
     Mirrors post_fusion2_onlylip_light (tf_nerf.py:320-386) up to (but not
@@ -333,7 +334,15 @@ def post_fusion_composite(rgb_lip, face_canonical, rgb_gt, mask_lip,
       coord: [B, H, W, 2] canonical→observed grid in [-1, 1];
       blackaug_noise: optional (noise1 [B,H,W,1], noise2 [B,H,W,1], apply
         bool) from train.losses.black_hole_noise;
-      window: optional static (y0, x0, h, w) observed-space crop.
+      window: optional static (y0, x0, h, w) observed-space crop;
+      static_warp: optional (warped_base [B,H,W,3], face_mask_obs
+        [B,H,W,3]) — the canonical face and its >0 mask warped by
+        ``coord`` on the HOST (ops.grid_sample.grid_sample_np; both are
+        dataset constants per frame).  With a validated ``window`` this
+        replaces blackaug's two full-frame on-device gathers (the
+        dominant train-step cost on TPU: ~110 ms/frame at 500²) exactly:
+        outside the window every sampled position lies outside the
+        expanded box where merged_canonical ≡ face_canonical.
     Returns:
       (unet_input [B, H, W, 3], rgb_gt' possibly noise-swapped,
        merged_canonical [B, H, W, 3]).
@@ -365,8 +374,12 @@ def post_fusion_composite(rgb_lip, face_canonical, rgb_gt, mask_lip,
         # full-frame gather can be gradient-free and only the window slice
         # carries gradients (kills the 500²-scatter backward of the gather)
         wy0, wx0, wh, ww = window
-        full = grid_sample(jax.lax.stop_gradient(merged_canonical), coord,
-                           padding_mode="zeros")
+        if static_warp is not None:
+            full = jax.lax.stop_gradient(
+                static_warp[0].astype(merged_canonical.dtype))
+        else:
+            full = grid_sample(jax.lax.stop_gradient(merged_canonical),
+                               coord, padding_mode="zeros")
         grid_w = jax.lax.slice(coord, (0, wy0, wx0, 0),
                                (b, wy0 + wh, wx0 + ww, 2))
         win = grid_sample(merged_canonical, grid_w, padding_mode="zeros")
@@ -377,10 +390,13 @@ def post_fusion_composite(rgb_lip, face_canonical, rgb_gt, mask_lip,
 
     if blackaug_noise is not None:
         noise1, noise2, apply = blackaug_noise
-        mask_face_canonical = (face_canonical > 0).astype(rgb_merged.dtype)
-        mask_face_obs = grid_sample(mask_face_canonical, coord,
-                                    padding_mode="zeros")
-        mask_face_obs = (mask_face_obs == 1).astype(rgb_merged.dtype)
+        if static_warp is not None and window is not None:
+            mask_face_obs = static_warp[1].astype(rgb_merged.dtype)
+        else:
+            mask_face_canonical = (face_canonical > 0).astype(rgb_merged.dtype)
+            mask_face_obs = grid_sample(mask_face_canonical, coord,
+                                        padding_mode="zeros")
+            mask_face_obs = (mask_face_obs == 1).astype(rgb_merged.dtype)
         # noise == 0 inside the face mask, 1 elsewhere (tf_nerf.py:306-318)
         n1 = jnp.where(mask_face_obs > 0, noise1, 1.0)
         n2 = jnp.where(mask_face_obs > 0, noise2, 1.0)

@@ -65,8 +65,33 @@ def init(key, n_channels: int = 3, n_classes: int = 3, base: int = 64,
     return params, state
 
 
-def apply(params, state, x, train: bool = False):
-    """x: [B, H, W, C] -> (logits [B, H, W, n_classes], new_state)."""
+def _up2x(x, out_h: int, out_w: int):
+    """Exact-2× bilinear upsample: out[2i] = in[i],
+    out[2i+1] = (in[i] + in[i+1]) / 2, edge-clamped, cropped to out_h/out_w.
+
+    Unlike align_corners=True at a non-integer ratio (a GLOBAL sampling
+    grid — every output depends on the total size), this is
+    translation-equivariant, so a %4-aligned crop of the input produces
+    exactly the matching crop of the output.  Matches the fused TPU
+    kernel's closed-form row lerp; deviation from the align-corners
+    reference semantics is ≤ 0.5 px of sampling position at the far edge
+    (the same deviation the fused serving path already carries)."""
+    b, h, w, c = x.shape
+    xn = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    rows = jnp.stack([x, 0.5 * (x + xn)], axis=2).reshape(b, 2 * h, w, c)
+    cn = jnp.concatenate([rows[:, :, 1:], rows[:, :, -1:]], axis=2)
+    cols = jnp.stack([rows, 0.5 * (rows + cn)],
+                     axis=3).reshape(b, 2 * h, 2 * w, c)
+    return cols[:, :out_h, :out_w]
+
+
+def apply(params, state, x, train: bool = False, exact2x: bool = False):
+    """x: [B, H, W, C] -> (logits [B, H, W, n_classes], new_state).
+
+    ``exact2x``: use the translation-equivariant exact-2× upsample
+    (windowed static-scene serving path) instead of align-corners
+    bilinear."""
+    up = (_up2x if exact2x else snn.upsample_bilinear)
     new_state = {}
     x1, new_state["inc"] = _double_conv(params["inc"], state["inc"], x, train)
     x2, new_state["down1"] = _double_conv(
@@ -74,11 +99,11 @@ def apply(params, state, x, train: bool = False):
     x3, new_state["down2"] = _double_conv(
         params["down2"], state["down2"], snn.maxpool2d(x2), train)
 
-    u = snn.upsample_bilinear(x3, x2.shape[1], x2.shape[2])
+    u = up(x3, x2.shape[1], x2.shape[2])
     u = jnp.concatenate([x2, u], axis=-1)
     u, new_state["up1"] = _double_conv(params["up1"], state["up1"], u, train)
 
-    u = snn.upsample_bilinear(u, x1.shape[1], x1.shape[2])
+    u = up(u, x1.shape[1], x1.shape[2])
     u = jnp.concatenate([x1, u], axis=-1)
     u, new_state["up2"] = _double_conv(params["up2"], state["up2"], u, train)
 

@@ -158,9 +158,22 @@ class FaceTracker:
 
     # ------------------------------------------------------------------
     def fit(self, focal: float, images: Optional[np.ndarray] = None,
-            progress: bool = False) -> Dict[str, np.ndarray]:
+            progress: bool = False,
+            timings: Optional[Dict[str, float]] = None
+            ) -> Dict[str, np.ndarray]:
         """Phases a–d. ``images``: [N, H, W, 3] uint8/float RGB frames for
-        the photometric phases (None → landmark-only fit)."""
+        the photometric phases (None → landmark-only fit).
+        ``timings``: optional dict filled with per-phase wall-clock seconds
+        (device-synced; used by tools/bench_preprocess.py)."""
+        import time as _time
+
+        def _mark(name, t0, tree):
+            if timings is not None:
+                np.asarray(jax.tree.leaves(tree)[0])  # device sync
+                timings[name] = _time.perf_counter() - t0
+            return _time.perf_counter()
+
+        t0 = _time.perf_counter()
         c = self.cfg
         n = self.lms.shape[0]
         p = {"id": jnp.zeros((1, c.id_dim)),
@@ -177,6 +190,7 @@ class FaceTracker:
         pose = _adam_loop(loss_a, pose, {"euler": sched_a, "trans": sched_a},
                           c.iters_pose, (self.lms, focal))
         p.update(pose)
+        t0 = _mark("phase_a_pose", t0, pose)
 
         # phase b: + id/exp + reg, lr 0.1 ×0.2 at 1000 (:349-374)
         sched_b = optax.piecewise_constant_schedule(0.1, {1000: 0.2})
@@ -188,6 +202,7 @@ class FaceTracker:
 
         p = _adam_loop(loss_b, p, {k: sched_b for k in p},
                        c.iters_idexp, (self.lms, focal))
+        t0 = _mark("phase_b_idexp", t0, p)
 
         if images is None:
             return self._pack(p, tex, light, focal)
@@ -261,6 +276,7 @@ class FaceTracker:
             photo = _adam_loop(loss_c, photo, lrs, c.iters_photo - 51,
                                ((0.05, 1.0, 0.8),))
 
+        t0 = _mark("phase_c_photometric", t0, photo)
         p["id"] = photo["id"]
         tex = photo["tex"]
         p["exp"] = p["exp"].at[sel].set(photo["exp_sel"])
@@ -270,6 +286,7 @@ class FaceTracker:
 
         # phase d: sliding-window refinement with temporal Laplacian (:441-530)
         p, light = self._phase_d(p, tex, light, images, focal)
+        _mark("phase_d_window", t0, p)
         return self._pack(p, tex, light, focal)
 
     def _phase_d(self, p, tex, light, images, focal):

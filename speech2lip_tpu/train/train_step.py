@@ -123,17 +123,23 @@ def _fuse_frame(params, unet_params, unet_state, rgb_lip, batch, coord,
     the intra-frame (SP) axis complementing frame DP (SURVEY.md §2.10).
     """
     noise = None
+    static_warp = None
     if blackaug:
         k1, k2, k3 = jax.random.split(key, 3)
         shape = batch["rgb_face_zero"].shape[:3] + (1,)
         apply = jax.random.uniform(k3, ()) > 0.5  # 50% of steps (tf_nerf.py:371)
         noise = (losses.black_hole_noise(k1, shape),
                  losses.black_hole_noise(k2, shape), apply)
+        if st.window is not None and "warped_base" in batch:
+            # host-precomputed static warps (dataset constants × coord) —
+            # replaces the step's two full-frame gathers, bit-exactly
+            static_warp = (batch["warped_base"],
+                           batch["blackaug_face_mask"])
     unet_in, _, _ = tf.post_fusion_composite(
         rgb_lip, batch["rgb_face_zero"], batch["rgb_face_ori"],
         batch["mask_lip_canonical"], coord, st.lip_x, st.lip_y,
         expand_divisor=st.expand_divisor, blackaug_noise=noise,
-        window=st.window)
+        window=st.window, static_warp=static_warp)
     if mesh is not None:
         from speech2lip_tpu.parallel.mesh import pixel_sharded
         unet_in = pixel_sharded(unet_in, mesh)

@@ -175,6 +175,7 @@ def batch_iterator(ds: LipDataset, batch_size: int, shuffle: bool,
             assert sample_idx == int(j)
             s = ds.load_frame_light(sample_idx)
             s.update({"rgb": rgb, "rgb_face_ori": face_ori, "coord": coord})
+            s.update(ds.blackaug_statics(coord))
             samples.append(s)
         yield stack_batch(samples)
 

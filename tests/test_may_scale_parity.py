@@ -181,12 +181,16 @@ def test_may_eval_render_parity(may, rng):
                                rtol=1e-3, atol=2e-4)
 
 
-def test_may_whole_loss_pipeline_parity(may, rng, monkeypatch):
+@pytest.mark.parametrize("blackaug_applied", [False, True])
+def test_may_whole_loss_pipeline_parity(may, rng, monkeypatch,
+                                        blackaug_applied):
     """train_stage1 at production geometry (9600 rays, 4-offset ensemble,
-    windowed composite, blackaug branch taken, perceptual ON, sync ON)
-    vs compute_losses: per-term agreement."""
+    windowed composite, blackaug branch taken or skipped, perceptual ON,
+    sync ON) vs compute_losses: per-term agreement."""
     import random as pyrandom
     from speech2lip_tpu.train.train_step import StepStatics, compute_losses
+
+    apply_draw = 0.9 if blackaug_applied else 0.1
 
     ident, coords, mask, face_zero, face_ori, rgb_lip_gt = _may_inputs(rng)
     coord = coords[2][None]
@@ -227,13 +231,13 @@ def test_may_whole_loss_pipeline_parity(may, rng, monkeypatch):
 
     monkeypatch.setattr(torch, "rand", fixed_rand)
     monkeypatch.setattr(torch, "randn", fixed_randn)
-    monkeypatch.setattr(pyrandom, "random", lambda: 0.9)  # blackaug applies
+    monkeypatch.setattr(pyrandom, "random", lambda: apply_draw)
 
     real_uniform = jax.random.uniform
 
     def fixed_uniform(key, shape=(), *a, **kw):
         if shape == ():
-            return jnp.float32(0.9)          # blackaug apply draw
+            return jnp.float32(apply_draw)   # blackaug apply draw
         if tuple(shape) == (1,):
             return jnp.full((1,), EPS_VAL)   # ensemble eps draw
         return real_uniform(key, shape, *a, **kw)

@@ -89,6 +89,56 @@ def test_train_step_runs_and_decreases_loss(tree):
     assert losses[-1] < losses[0]  # optimizing the same batch must descend
 
 
+def test_blackaug_static_warp_bit_exact(tree):
+    """The host-precomputed blackaug warps (dataset blackaug_statics →
+    batch warped_base/blackaug_face_mask) replace the on-device
+    full-frame gathers with bit-identical VALUES (grid_sample_np mirrors
+    grid_sample op-for-op — asserted bitwise below); the whole step then
+    agrees to XLA re-fusion noise (different graphs may re-associate
+    FMAs), bounded at 1e-6."""
+    import dataclasses
+    from speech2lip_tpu.data.windows import compute_warp_window
+    from speech2lip_tpu.ops.grid_sample import grid_sample, grid_sample_np
+
+    root, geo, cfg = tree
+    ds = LipDataset(root, "train", cfg)
+    assert ds.use_blackaug  # May default: blackaug ON
+    params, unet_p, unet_s, frozen, st = _build(cfg, geo, ds)
+
+    samples = [ds.load_frame(i) for i in range(2)]
+    assert "warped_base" in samples[0]
+    # numpy mirror == device op, bitwise
+    coord = samples[0]["coord"][None]
+    dev = np.asarray(grid_sample(jnp.asarray(ds.rgb_face_zero)[None],
+                                 jnp.asarray(coord)))
+    host = grid_sample_np(ds.rgb_face_zero[None], coord)
+    np.testing.assert_array_equal(dev, host)
+
+    batch = stack_batch(samples)
+    batch = jax.tree.map(jnp.asarray, batch)
+    box = tf.expanded_lip_box(geo["lip_h"], geo["lip_w"],
+                              ds.lefttop_x, ds.lefttop_y)
+    window = compute_warp_window([np.asarray(s["coord"]) for s in samples],
+                                 box, geo["face"], geo["face"], margin=4)
+    st = dataclasses.replace(st, window=tuple(window), use_blackaug=True)
+
+    opt = make_optimizer(cfg)
+    trainable = {"model": params, "unet": unet_p}
+    key = jax.random.PRNGKey(3)
+    outs = []
+    for b in (batch,
+              {k: v for k, v in batch.items()
+               if k not in ("warped_base", "blackaug_face_mask")}):
+        state = TrainState(params, unet_p, unet_s, opt.init(trainable),
+                           jnp.int32(0))
+        step = make_train_step(opt, st, frozen, donate=False)
+        state, metrics = step(state, b, key)
+        outs.append((float(metrics["loss"]),
+                     np.asarray(jax.tree.leaves(state.params)[0])))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-6)
+
+
 def test_train_step_sync_stage(tree):
     root, geo, cfg = tree
     ds = LipDataset(root, "train", cfg)

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--lip-w", type=int, default=120)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--static", action="store_true", help=(
+        "static-scene renderers (the new-audio serving regime: canonical "
+        "artifacts fixed per identity, U-Net on the lip-window crop only)"))
     args = ap.parse_args()
 
     import jax
@@ -59,19 +62,48 @@ def main():
     for s in range(args.identities):
         k1, k2 = jax.random.split(jax.random.PRNGKey(s))
         param_sets.append((tfm.init(k1, cfg), *unet_light.init(k2)))
-    server = MultiSpeakerServer(
-        cfg, param_sets,
-        [(geo["lip_x"], geo["lip_y"])] * args.identities,
-        window=tuple(window))
 
-    # per-identity streaming batches: same geometry, distinct audio
     rng = np.random.default_rng(0)
-    batches = []
-    for s in range(args.identities):
-        b = dict(raw)
-        b["audio"] = rng.standard_normal(raw["audio"].shape).astype(
-            np.float32)
-        batches.append(jax.tree.map(jnp.asarray, b))
+    if args.static:
+        from speech2lip_tpu.infer.static_scene import StaticSceneRenderer
+        base = {k: np.asarray(raw[k][0])
+                for k in ("rgb_face_zero", "rgb_face_ori",
+                          "mask_lip_canonical", "coord")}
+        renderers = [StaticSceneRenderer(cfg, *ps, base=base,
+                                         window=tuple(window),
+                                         lip_x=geo["lip_x"],
+                                         lip_y=geo["lip_y"])
+                     for ps in param_sets]
+        audio = [rng.standard_normal((args.batch, 16, 29)).astype(np.float32)
+                 for _ in range(args.identities)]
+        t_idx = np.arange(args.batch, dtype=np.float32)
+
+        class _SrvShim:
+            _fused_fns = {0: True}
+            FUSED_BATCH_THRESHOLD = 0
+
+            def render_all(self, _):
+                return [{"face": r(a, t_idx)}
+                        for r, a in zip(renderers, audio)]
+        server = _SrvShim()
+        batches = [None] * args.identities
+        crop = renderers[0].geo
+        print(f"# static-scene crop: "
+              f"{crop['ch']}x{crop['cw']} of {face}^2" if crop
+              else "# static-scene: full-frame fallback", file=sys.stderr)
+    else:
+        server = MultiSpeakerServer(
+            cfg, param_sets,
+            [(geo["lip_x"], geo["lip_y"])] * args.identities,
+            window=tuple(window))
+
+        # per-identity streaming batches: same geometry, distinct audio
+        batches = []
+        for s in range(args.identities):
+            b = dict(raw)
+            b["audio"] = rng.standard_normal(raw["audio"].shape).astype(
+                np.float32)
+            batches.append(jax.tree.map(jnp.asarray, b))
 
     def sync(outs):
         return float(jnp.sum(outs[-1]["face"][0, 0, 0]))
@@ -100,9 +132,11 @@ def main():
         "wave_latency_ms_max": round(1e3 * max(lat), 1),
         "realtime_factor_per_identity_25fps": round(realtime_per_identity, 2),
         "backend": jax.default_backend(),
-        "path": "fused" if (server._fused_fns
-                            and args.batch >= server.FUSED_BATCH_THRESHOLD)
-                else "vmap-xla",
+        "static_scene": args.static,
+        "path": "static-window" if args.static else (
+            "fused" if (server._fused_fns
+                        and args.batch >= server.FUSED_BATCH_THRESHOLD)
+            else "vmap-xla"),
     }))
 
 

@@ -121,6 +121,83 @@ def batch_scaling():
               f"{dt_lip * 1e3 / b:6.1f} ms/frame")
 
 
+def ablate():
+    """Per-loss-term step-time ablation at batch 1 and 8 (bf16, May
+    geometry): which term is eating the batch amortization?"""
+    import jax
+    import jax.numpy as jnp
+
+    from speech2lip_tpu.core.config import default_config
+    from speech2lip_tpu.data.synthetic import synthetic_batch
+    from speech2lip_tpu.data.windows import compute_warp_window
+    from speech2lip_tpu.models import lpips as lpips_mod
+    from speech2lip_tpu.models import talking_face as tfm
+    from speech2lip_tpu.models import unet_light
+    from speech2lip_tpu.train.train_step import (StepStatics, TrainState,
+                                                 make_optimizer,
+                                                 make_train_step)
+
+    face, lip_h, lip_w = 500, 80, 120
+    cfg = default_config()
+    cfg["model"]["canonical_depth_height"] = face
+    cfg["model"]["canonical_depth_width"] = face
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    params = tfm.init(keys[0], cfg)
+    unet_p, unet_s = unet_light.init(keys[1])
+    frozen = {"lpips": lpips_mod.init(keys[2])}
+    opt = make_optimizer(cfg)
+
+    def bench(step, state0, batch, iters=10):
+        s, m = step(state0, batch, jax.random.PRNGKey(1))
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            s, m = step(s, batch, jax.random.fold_in(jax.random.PRNGKey(2),
+                                                     i))
+        float(m["loss"])
+        return (time.perf_counter() - t0) / iters
+
+    variants = [
+        ("full", {}),
+        ("full+hostwarp", {}),    # blackaug statics precomputed on host
+        ("no-blackaug", {"use_blackaug": False}),
+        ("no-depthloss", {"use_canonical_depth_loss": False}),
+        ("no-perceptual", {"use_perceptual": False}),
+        ("no-ensemble", {"ensemble": False}),
+        ("photo-only", {"use_blackaug": False,
+                        "use_canonical_depth_loss": False,
+                        "use_perceptual": False}),
+    ]
+    from speech2lip_tpu.ops.grid_sample import grid_sample_np
+    for b in (1, 8):
+        raw, geo = synthetic_batch(b, face=face, lip_h=lip_h, lip_w=lip_w)
+        box = tfm.expanded_lip_box(lip_h, lip_w, geo["lip_x"], geo["lip_y"])
+        window = compute_warp_window([raw["coord"][i] for i in range(b)],
+                                     box, face, face, margin=16)
+        fz, coord = raw["rgb_face_zero"], raw["coord"]
+        raw_hw = dict(raw,
+                      warped_base=grid_sample_np(fz, coord),
+                      blackaug_face_mask=(grid_sample_np(
+                          (fz > 0).astype(fz.dtype), coord) == 1.0
+                      ).astype(fz.dtype))
+        batch_hw = jax.tree.map(jnp.asarray, raw_hw)
+        batch = jax.tree.map(jnp.asarray, raw)
+        trainable = {"model": params, "unet": unet_p}
+        state0 = TrainState(params, unet_p, unet_s, opt.init(trainable),
+                            jnp.int32(0))
+        for name, over in variants:
+            st = StepStatics(
+                lip_h=lip_h, lip_w=lip_w, lip_x=geo["lip_x"],
+                lip_y=geo["lip_y"], face_h=face, face_w=face, focal=1200.0,
+                face_bbox=(50, 50, 450, 450), window=window,
+                compute_dtype="bfloat16", **over)
+            step = make_train_step(opt, st, frozen, donate=False)
+            dt = bench(step, state0,
+                       batch_hw if name == "full+hostwarp" else batch)
+            print(f"batch {b} {name:13s}: {dt * 1e3:7.1f} ms/step "
+                  f"({dt * 1e3 / b:6.1f} ms/frame)", flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -182,5 +259,7 @@ def main():
 if __name__ == "__main__":
     if "--batch-scaling" in sys.argv:
         batch_scaling()
+    elif "--ablate" in sys.argv:
+        ablate()
     else:
         main()
