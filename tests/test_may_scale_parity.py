@@ -289,6 +289,11 @@ def test_may_whole_loss_pipeline_parity(may, rng, monkeypatch,
         w_perceptual=float(may["cfg"]["training"]["w_perceptual_loss"]),
         w_sync=float(may["cfg"]["training"]["w_syncloss"]),
         use_blackaug=True, sync_on=True, face_bbox=BBOX,
+        # it=150001 > 100k: the reference has frozen the postnet and put it
+        # in eval (running-stats BN, reference train.py:188-197); the
+        # fixture's model.eval() mirrors that, and postnet_frozen selects
+        # the same eval-BN on our side
+        postnet_frozen=True,
         ensemble=True, window=tuple(window))
     batch = {k: jnp.asarray(v) for k, v in {
         "audio": audio, "index": np.array([t_index], np.float32),
