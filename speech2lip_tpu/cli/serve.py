@@ -90,6 +90,11 @@ def main():
     ap.add_argument("--grace", type=float, default=0.0, help=(
         "skip queue files modified within this many seconds (guards "
         "against non-atomic client writes; 0 disables)"))
+    ap.add_argument("--static", action="store_true", help=(
+        "serve through the static-scene renderers (U-Net on the "
+        "lip-window crop only; exact for the new-audio regime where every "
+        "face artifact is a per-identity constant). Falls back per "
+        "identity when no warp window exists."))
     args = ap.parse_args()
 
     import cv2
@@ -134,6 +139,22 @@ def main():
         [(ds.lefttop_x, ds.lefttop_y) for _, ds, _ in identities],
         window=tuple(window) if window is not None else None)
     bases = [ds.load_frame(0) for _, ds, _ in identities]
+    static_renderers = None
+    if args.static:
+        from speech2lip_tpu.infer.static_scene import StaticSceneRenderer
+        static_renderers = []
+        for (cfg_i, ds_i, st_i), base_i, win_i in zip(identities, bases,
+                                                      windows):
+            if win_i is None or "coord" not in base_i:
+                static_renderers.append(None)  # full path fallback
+                continue
+            static_renderers.append(StaticSceneRenderer(
+                cfg_i, st_i.params, st_i.unet_params, st_i.unet_state,
+                base_i, win_i, ds_i.lefttop_x, ds_i.lefttop_y))
+        n_crop = sum(r is not None and r.geo is not None
+                     for r in static_renderers)
+        print(f"static-scene serving: {n_crop}/{len(identities)} "
+              "identities on the windowed U-Net path")
     ds_params = None
     if args.deepspeech:
         ds_params, _ = ckpt.load_nested(args.deepspeech)
@@ -158,16 +179,24 @@ def main():
             req_dir = os.path.join(args.out, req)
             os.makedirs(req_dir, exist_ok=True)
             n = windows.shape[0]
+            sr = (static_renderers[ident]
+                  if static_renderers is not None else None)
             for start in range(0, n, args.batch):
-                samples = []
-                for i in range(start, min(start + args.batch, n)):
-                    s = dict(bases[ident])
-                    s["audio"] = windows[i]
-                    s["index"] = np.int32(i)
-                    samples.append(s)
-                b = jax.tree.map(jnp.asarray, stack_batch(samples))
-                faces = np.asarray(server.render_fast(ident, b)["face"])
-                for k, i in enumerate(range(start, start + len(samples))):
+                stop = min(start + args.batch, n)
+                if sr is not None:
+                    faces = np.asarray(sr(
+                        windows[start:stop],
+                        np.arange(start, stop, dtype=np.float32)))
+                else:
+                    samples = []
+                    for i in range(start, stop):
+                        s = dict(bases[ident])
+                        s["audio"] = windows[i]
+                        s["index"] = np.int32(i)
+                        samples.append(s)
+                    b = jax.tree.map(jnp.asarray, stack_batch(samples))
+                    faces = np.asarray(server.render_fast(ident, b)["face"])
+                for k, i in enumerate(range(start, stop)):
                     img = np.clip(faces[k] * 255.0, 0, 255).astype(np.uint8)
                     cv2.imwrite(os.path.join(req_dir, f"{i:05d}.jpg"),
                                 img[:, :, ::-1])

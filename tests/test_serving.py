@@ -143,6 +143,45 @@ def test_multispeaker_render_all_vmapped(rng):
                            np.asarray(outs[2]["face"]))
 
 
+def test_serve_cli_static_scene(tmp_path, monkeypatch):
+    """cli.serve --static routes requests through the StaticSceneRenderer
+    (windowed U-Net) and still produces full-size frames + .done."""
+    import os
+    import sys
+    import yaml
+    from speech2lip_tpu.data.synthetic import (make_learnable_tree,
+                                               synthetic_config)
+
+    root = str(tmp_path / "id0")
+    geo = make_learnable_tree(root, n_frames=12, face=96, lip_h=16,
+                              lip_w=24)
+    cfg = synthetic_config(root, geo)
+    cfg["training"]["out_dir"] = str(tmp_path / "out0")
+    p = str(tmp_path / "cfg0.yaml")
+    with open(p, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    queue = tmp_path / "queue"
+    outd = tmp_path / "served"
+    queue.mkdir()
+    rng_l = np.random.default_rng(0)
+    np.save(str(queue / "0__reqS.npy"),
+            rng_l.standard_normal((4, 16, 29)).astype(np.float32))
+
+    from speech2lip_tpu.cli import serve as serve_cli
+    monkeypatch.setattr(sys, "argv", [
+        "serve", p, "--queue", str(queue), "--out", str(outd),
+        "--batch", "4", "--once", "--static"])
+    serve_cli.main()
+
+    assert (outd / "reqS.done").exists()
+    frames = sorted(os.listdir(outd / "reqS"))
+    assert len(frames) == 4
+    import cv2
+    img = cv2.imread(str(outd / "reqS" / frames[0]))
+    assert img.shape == (96, 96, 3)
+
+
 def test_multispeaker_identity_sharded_mesh(rng):
     """Multi-chip serving (BASELINE config 5 scale-out): 8 identities
     sharded one-per-device over the 8-device CPU mesh produce exactly the
