@@ -98,14 +98,19 @@ def render_face_batch(params, unet_params, unet_state, batch: Dict[str, Any],
         use_pallas=use_pallas)
     unet_in = unet_in.astype(compute_dtype)
     if use_pallas and compute_dtype == jnp.bfloat16 \
-            and unet_in.shape[1] % 4 == 0 and unet_in.shape[2] % 4 == 0:
+            and unet_in.shape[1] % 4 == 0 and unet_in.shape[2] % 4 == 0 \
+            and unet_in.shape[1] <= 500 and unet_in.shape[2] <= 500:
         # fully-fused Pallas U-Net (pool/upsample/concat folded into the
         # DoubleConv kernels): ~1.4x the XLA graph at May geometry.
         # bf16-only: fp32 activations double the kernels' VMEM scratches
         # past the 16 MB budget at 500² (measured OOM on the up blocks).
         # %4 geometry: both pool levels and the exact-2x upsamples need
         # even sizes at every stage (odd halves would corrupt the
-        # pooled-lane halo and the closed-form row lerp)
+        # pooled-lane halo and the closed-form row lerp).
+        # <=500px: the up blocks' scoped VMEM overflows past May's 500²
+        # (measured 17.73M > 16M at 512²; row_tile must stay %8) — bigger
+        # faces take the XLA graph, and the static-scene serving path
+        # still runs its (smaller) window crop through the fused kernels
         face = unet_light.apply_infer_fused(unet_params, unet_state,
                                             unet_in)
     else:

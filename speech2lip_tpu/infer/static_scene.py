@@ -52,24 +52,34 @@ def _align4(v: int, up: bool) -> int:
 
 def crop_geometry(window: Tuple[int, int, int, int], face_h: int,
                   face_w: int) -> Optional[Dict[str, int]]:
-    """(crop, interior) rectangles for a validated warp window; None when
-    the window sits too close to the frame edge for a full halo (caller
-    falls back to the full-frame path)."""
+    """(crop, interior) rectangles for a validated warp window.
+
+    Rectangles CLAMP to the frame: where the crop reaches the image
+    boundary, its conv zero-padding coincides with the full-frame
+    computation's, so clamped edges stay exact (the real May mouth sits
+    ~60 px from the bottom of the 500² crop — a hard halo requirement
+    would disable the fast path exactly where it matters).  None only
+    when the frame isn't %4 (alignment would break pooling parity) or the
+    crop covers (almost) the whole frame anyway."""
     wy0, wx0, wh, ww = window
-    iy0 = _align4(wy0 - PASTE_MARGIN, up=False)
-    ix0 = _align4(wx0 - PASTE_MARGIN, up=False)
-    iy1 = _align4(wy0 + wh + PASTE_MARGIN, up=True)
-    ix1 = _align4(wx0 + ww + PASTE_MARGIN, up=True)
-    cy0, cx0 = iy0 - HALO, ix0 - HALO
-    cy1, cx1 = iy1 + HALO, ix1 + HALO
-    if cy0 < 0 or cx0 < 0 or cy1 > face_h or cx1 > face_w:
+    if face_h % 4 or face_w % 4:
         return None
+    iy0 = max(0, _align4(wy0 - PASTE_MARGIN, up=False))
+    ix0 = max(0, _align4(wx0 - PASTE_MARGIN, up=False))
+    iy1 = min(face_h, _align4(wy0 + wh + PASTE_MARGIN, up=True))
+    ix1 = min(face_w, _align4(wx0 + ww + PASTE_MARGIN, up=True))
+    cy0, cx0 = max(0, iy0 - HALO), max(0, ix0 - HALO)
+    cy1, cx1 = min(face_h, iy1 + HALO), min(face_w, ix1 + HALO)
+    if (cy1 - cy0) * (cx1 - cx0) >= 0.9 * face_h * face_w:
+        return None  # no meaningful savings; run the full frame
     return {"cy0": cy0, "cx0": cx0, "ch": cy1 - cy0, "cw": cx1 - cx0,
             "iy0": iy0, "ix0": ix0, "ih": iy1 - iy0, "iw": ix1 - ix0}
 
 
 def _apply_unet(unet_params, unet_state, x, use_pallas: bool):
-    if use_pallas and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+    if use_pallas and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0 \
+            and x.shape[1] <= 500 and x.shape[2] <= 500:
+        # fused-kernel VMEM budget caps at ~500px (see infer/renderer.py)
         return unet_light.apply_infer_fused(unet_params, unet_state, x)
     out, _ = unet_light.apply(unet_params, unet_state, x, train=False,
                               exact2x=True)

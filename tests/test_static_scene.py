@@ -29,11 +29,20 @@ def test_crop_geometry_alignment():
         assert g[k] % 4 == 0, (k, g[k])
     assert g["iy0"] <= 300 and g["iy0"] + g["ih"] >= 300 + 120
     assert g["cy0"] == g["iy0"] - HALO
-    # too close to the edge for a halo -> fallback
+    # window hugging the frame bottom (the real May mouth): clamps to the
+    # edge (exact — crop zero-padding coincides with the frame's there)
+    g2 = crop_geometry((390, 160, 90, 180), 500, 500)
+    assert g2 is not None
+    assert g2["iy0"] + g2["ih"] == 500 and g2["cy0"] + g2["ch"] == 500
+    # near-full-frame crop -> no savings -> fallback
     assert crop_geometry((2, 2, 30, 30), 100, 100) is None
+    # non-%4 frame cannot keep pooling-grid alignment -> fallback
+    assert crop_geometry((100, 100, 50, 50), 499, 500) is None
 
 
-def test_static_scene_matches_full_frame(rng):
+@pytest.mark.parametrize("clamp", [False, True])  # True: window extended
+# to the frame bottom, so the crop clamps at the edge (the May regime)
+def test_static_scene_matches_full_frame(rng, clamp):
     from speech2lip_tpu.core.config import default_config
     from speech2lip_tpu.data.windows import compute_warp_window
     from speech2lip_tpu.infer.static_scene import StaticSceneRenderer
@@ -52,6 +61,11 @@ def test_static_scene_matches_full_frame(rng):
     window = compute_warp_window([raw["coord"][0]], box, face, face,
                                  margin=4)
     assert window is not None
+    if clamp:
+        # a superset window is always valid; extending to the frame bottom
+        # forces the crop/interior to clamp at the image edge
+        wy0, wx0, wh, ww = window
+        window = (wy0, wx0, face - wy0, ww)
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     params = tf.init(k1, cfg)
