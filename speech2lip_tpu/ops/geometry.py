@@ -129,6 +129,46 @@ def project_3d(points: jnp.ndarray, k: jnp.ndarray, t: jnp.ndarray,
     return grid, z.reshape(height, width)
 
 
+def warp_grid_crop(depth: jnp.ndarray, rel_pose: jnp.ndarray,
+                   k: jnp.ndarray, inv_k: jnp.ndarray, box,
+                   height: int, width: int) -> jnp.ndarray:
+    """The elementwise part of ``inverse_warp`` — backproject + project —
+    restricted to a static crop of the TARGET plane, without the gather.
+
+    Per-pixel math identical to ``backproject_depth``/``project_3d`` (each
+    pixel is an independent column through the same 3×3 contractions), so
+    grid values equal the full-frame path's at the crop pixels exactly.
+    Used by the canonical-depth loss fast path: the loss mask's support is
+    a static per-identity box, so only that box's warp is ever needed.
+
+    Args:
+      depth: [H, W] full-frame target depth; rel_pose/k/inv_k: [4, 4];
+      box: (x0, x1, y0, y1) half-open pixel bounds, static ints.
+    Returns:
+      grid [y1-y0, x1-x0, 2] in [-1, 1] normalized to (height, width).
+    """
+    x0, x1, y0, y1 = box
+    ch, cw = y1 - y0, x1 - x0
+    d = depth[y0:y1, x0:x1]
+    xs, ys = jnp.meshgrid(jnp.arange(x0, x1, dtype=depth.dtype),
+                          jnp.arange(y0, y1, dtype=depth.dtype),
+                          indexing="xy")
+    pix = jnp.stack([xs.reshape(-1), ys.reshape(-1),
+                     jnp.ones(ch * cw, depth.dtype)], axis=0)
+    cam = inv_k[:3, :3] @ pix
+    cam = d.reshape(1, -1) * cam
+    points = jnp.concatenate(
+        [cam, jnp.ones((1, ch * cw), depth.dtype)], axis=0)
+    p = (k @ rel_pose)[:3, :]
+    c2 = p @ points
+    z = c2[2]
+    pixp = c2[:2] / (z[None, :] + 1e-7)
+    gx = pixp[0] / (width - 1)
+    gy = pixp[1] / (height - 1)
+    grid = jnp.stack([(gx - 0.5) * 2.0, (gy - 0.5) * 2.0], axis=-1)
+    return grid.reshape(ch, cw, 2)
+
+
 def inverse_warp(src_img: jnp.ndarray, tgt_depth: jnp.ndarray,
                  rel_pose: jnp.ndarray, k: jnp.ndarray, inv_k: jnp.ndarray):
     """Backward-warp ``src_img`` into the target view given target depth.

@@ -170,6 +170,54 @@ def grid_sample_onehot(src: jnp.ndarray, grid: jnp.ndarray,
     return jnp.einsum("bpw,bpwc->bpc", onehot_x, g).astype(src.dtype)
 
 
+def grid_sample_onehot_border(src: jnp.ndarray,
+                              grid: jnp.ndarray) -> jnp.ndarray:
+    """Full-source bilinear sampling with EXACT ``border`` padding as two
+    one-hot MXU contractions.
+
+    Equals ``grid_sample(src, grid, 'border')`` for EVERY grid value:
+    torch's border mode clamps each bilinear neighbor's index into the
+    image, which is equivalent to clamping the continuous coordinate to
+    [0, size-1] first and then flooring into [0, size-2] with the residual
+    weight (out-of-range rows collapse onto the edge row with weight 1).
+    That closed form needs no per-neighbor masking, so the row gather
+    becomes a [P, H] × [H, W·C] matmul on the MXU instead of 4·P
+    serialized ~32 ns gathers — the same trick as ``grid_sample_onehot``
+    but exact over the whole plane, not just a crop interior.  Used by the
+    canonical-depth photometric loss (train_step.py), whose warp grid
+    depends on the LEARNED depth and therefore cannot be precomputed on
+    the host like the blackaug warps.
+
+    Args:
+      src: [B, H, W, C]; grid: [B, P, 2] (x, y) in [-1, 1] normalized to
+        (H, W), torch align_corners=False convention.
+    Returns:
+      [B, P, C].
+    """
+    b, h, w, c = src.shape
+    ix = jnp.clip(((grid[..., 0] + 1.0) * w - 1.0) * 0.5, 0.0, w - 1.0)
+    iy = jnp.clip(((grid[..., 1] + 1.0) * h - 1.0) * 0.5, 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 2)
+    wx = (ix - x0.astype(ix.dtype))[..., None]
+    wy = (iy - y0.astype(iy.dtype))[..., None]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, h), 2)
+    onehot_y = ((rows == y0[..., None]).astype(src.dtype) * (1.0 - wy)
+                + (rows == y0[..., None] + 1).astype(src.dtype) * wy)
+    # accumulate in fp32 (each output mixes only two rows; see
+    # grid_sample_onehot for the bf16 intermediate-error budget)
+    acc = jnp.float32 if src.dtype == jnp.float32 else src.dtype
+    g = jnp.einsum("bph,bhk->bpk", onehot_y, src.reshape(b, h, w * c),
+                   preferred_element_type=acc)
+    g = g.reshape(b, -1, w, c)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+    onehot_x = ((cols == x0[..., None]).astype(g.dtype) * (1.0 - wx)
+                + (cols == x0[..., None] + 1).astype(g.dtype) * wx)
+    return jnp.einsum("bpw,bpwc->bpc", onehot_x, g).astype(src.dtype)
+
+
 def warp_box_mask(grid: jnp.ndarray, box, height: int, width: int,
                   binarize: bool = True) -> jnp.ndarray:
     """Bilinear sample of an axis-aligned rectangle indicator — in closed

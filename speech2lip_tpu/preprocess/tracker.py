@@ -55,27 +55,53 @@ def cal_lap_loss(x):
     return jnp.mean(lap ** 2)
 
 
-def _adam_loop(loss_fn, params: Dict[str, jnp.ndarray], lr_schedules,
-               n_iters: int, static_args=()):
-    """Run ``n_iters`` Adam steps of ``loss_fn(params)`` under one jit.
+def make_adam_runner(loss_fn, param_keys, lr_schedules, n_iters: int,
+                     static_args=()):
+    """Build a REUSABLE jitted Adam loop: ``run(params, aux)``.
+
+    One compile serves every subsequent call with the same shapes — the
+    find_focal candidate grid and phase-d's sliding windows re-enter the
+    same executable instead of re-tracing a fresh program each time.
+
+    Large arrays (BFM bases, images, landmark tracks, the focal scalar)
+    must flow through ``aux``: ``loss_fn`` is called as
+    ``loss_fn(q, *aux, *static_args)`` and ``aux`` is a real jit argument.
+    Closed-over arrays would be embedded in the lowered HLO as literal
+    constants, which defeats compile caching AND bloats the compile
+    payload (the axon remote-compile tunnel rejects >~128 MB programs;
+    50 key frames at 500² alone are 150 MB).
 
     lr_schedules: {name: optax schedule or float} — one Adam per param with
     its own LR (the reference uses separate optimizers per group)."""
-    opts = {k: optax.adam(lr_schedules.get(k, 1e-2)) for k in params}
-    opt_states = {k: opts[k].init(params[k]) for k in params}
+    opts = {k: optax.adam(lr_schedules.get(k, 1e-2)) for k in param_keys}
 
-    def body(_, carry):
+    def body(aux, _, carry):
         p, s = carry
-        grads = jax.grad(lambda q: loss_fn(q, *static_args))(p)
+        grads = jax.grad(lambda q: loss_fn(q, *aux, *static_args))(p)
         new_p, new_s = {}, {}
         for k in p:
             upd, new_s[k] = opts[k].update(grads[k], s[k], p[k])
             new_p[k] = optax.apply_updates(p[k], upd)
         return new_p, new_s
 
-    run = jax.jit(lambda p, s: jax.lax.fori_loop(0, n_iters, body, (p, s)))
-    final_p, _ = run(params, opt_states)
-    return final_p
+    @jax.jit
+    def run(p, s, aux):
+        return jax.lax.fori_loop(0, n_iters,
+                                 functools.partial(body, aux), (p, s))
+
+    def call(params, aux=()):
+        opt_states = {k: opts[k].init(params[k]) for k in params}
+        final_p, _ = run(params, opt_states, aux)
+        return final_p
+
+    return call
+
+
+def _adam_loop(loss_fn, params: Dict[str, jnp.ndarray], lr_schedules,
+               n_iters: int, static_args=(), aux=()):
+    """One-shot convenience wrapper over ``make_adam_runner``."""
+    return make_adam_runner(loss_fn, list(params), lr_schedules, n_iters,
+                            static_args)(params, aux)
 
 
 @dataclass
@@ -113,9 +139,17 @@ class FaceTracker:
         self.cxy = (cfg.img_w / 2.0, cfg.img_h / 2.0)
 
     # ------------------------------------------------------------------
-    def _landmark_loss(self, p, lms, focal):
+    def _aux_assets(self):
+        """The asset arrays as a jit-ARGUMENT pytree: ``point_num`` (a
+        static shape) is blanked to None (an empty pytree node) so only the
+        arrays are traced; losses restore it with ``_replace``."""
+        return self.assets._replace(point_num=None)
+
+    def _landmark_loss(self, p, lms, focal, assets: bfm.BFMAssets = None):
+        if assets is None:
+            assets = self.assets
         idb = jnp.broadcast_to(p["id"], (p["exp"].shape[0], p["id"].shape[1]))
-        geo = bfm.get_3dlandmarks(self.assets, idb, p["exp"], p["euler"],
+        geo = bfm.get_3dlandmarks(assets, idb, p["exp"], p["euler"],
                                   p["trans"], focal, self.cxy)
         proj = bfm.forward_transform(geo, p["euler"], p["trans"], focal,
                                      self.cxy)
@@ -128,29 +162,42 @@ class FaceTracker:
         sel = np.arange(0, self.lms.shape[0], frame_stride)
         lms = self.lms[sel]
         n = len(sel)
+        a_n, pn = self._aux_assets(), self.assets.point_num
+
+        def loss_pose(q, a_, lms_, f_, id0, exp0):
+            a = a_._replace(point_num=pn)
+            return self._landmark_loss({"id": id0, "exp": exp0, **q},
+                                       lms_, f_, assets=a)
+
+        # + id/exp with reg, lr ×0.2 at 1500
+        sched = optax.piecewise_constant_schedule(0.1, {1500: 0.2})
+
+        def loss_all(q, a_, lms_, f_):
+            return (self._landmark_loss(q, lms_, f_,
+                                        assets=a_._replace(point_num=pn))
+                    + 0.5 * jnp.mean(q["id"] ** 2)
+                    + 0.4 * jnp.mean(q["exp"] ** 2))
+
+        # the focal is a TRACED aux input, so ONE compile of each loop
+        # serves the whole candidate grid
+        run_pose = make_adam_runner(loss_pose, ("euler", "trans"),
+                                    {"euler": 0.1, "trans": 0.1},
+                                    c.iters_focal_pose)
+        keys = ("id", "exp", "euler", "trans")
+        run_all = make_adam_runner(loss_all, keys, {k: sched for k in keys},
+                                   c.iters_focal_idexp)
+
         best_focal, best_loss = hi, np.inf
         for focal in range(lo, hi, step):
+            f = jnp.float32(focal)
             p = {"id": jnp.zeros((1, c.id_dim)),
                  "exp": jnp.zeros((n, c.exp_dim)),
                  "euler": jnp.zeros((n, 3)),
                  "trans": jnp.zeros((n, 3)).at[:, 2].add(-7.0)}
-            # pose-only
-            pose = {k: p[k] for k in ("euler", "trans")}
-            loss_pose = lambda q, lms_, f_: self._landmark_loss(
-                {**p, **q}, lms_, f_)
-            pose = _adam_loop(loss_pose, pose, {"euler": 0.1, "trans": 0.1},
-                              c.iters_focal_pose, (lms, float(focal)))
+            pose = run_pose({k: p[k] for k in ("euler", "trans")},
+                            (a_n, lms, f, p["id"], p["exp"]))
             p.update(pose)
-            # + id/exp with reg, lr ×0.2 at 1500
-            sched = optax.piecewise_constant_schedule(0.1, {1500: 0.2})
-
-            def loss_all(q, lms_, f_):
-                return (self._landmark_loss(q, lms_, f_)
-                        + 0.5 * jnp.mean(q["id"] ** 2)
-                        + 0.4 * jnp.mean(q["exp"] ** 2))
-
-            p = _adam_loop(loss_all, p, {k: sched for k in p},
-                           c.iters_focal_idexp, (lms, float(focal)))
+            p = run_all(p, (a_n, lms, f))
             final = float(self._landmark_loss(p, lms, float(focal)))
             if final < best_loss:
                 best_loss, best_focal = final, focal
@@ -183,25 +230,35 @@ class FaceTracker:
         tex = jnp.zeros((1, c.tex_dim))
         light = jnp.zeros((n, 27))
 
+        a_n, pn = self._aux_assets(), self.assets.point_num
+        focal_j = jnp.float32(focal)
+
         # phase a: pose only, lr 1 → 0.1 at iter 1000 (face_tracker.py:341)
         sched_a = optax.piecewise_constant_schedule(1.0, {1000: 0.1})
         pose = {k: p[k] for k in ("euler", "trans")}
-        loss_a = lambda q, lms_, f_: self._landmark_loss({**p, **q}, lms_, f_)
+
+        def loss_a(q, a_, lms_, f_, id0, exp0):
+            return self._landmark_loss(
+                {"id": id0, "exp": exp0, **q}, lms_, f_,
+                assets=a_._replace(point_num=pn))
+
         pose = _adam_loop(loss_a, pose, {"euler": sched_a, "trans": sched_a},
-                          c.iters_pose, (self.lms, focal))
+                          c.iters_pose,
+                          aux=(a_n, self.lms, focal_j, p["id"], p["exp"]))
         p.update(pose)
         t0 = _mark("phase_a_pose", t0, pose)
 
         # phase b: + id/exp + reg, lr 0.1 ×0.2 at 1000 (:349-374)
         sched_b = optax.piecewise_constant_schedule(0.1, {1000: 0.2})
 
-        def loss_b(q, lms_, f_):
-            return (self._landmark_loss(q, lms_, f_)
+        def loss_b(q, a_, lms_, f_):
+            return (self._landmark_loss(q, lms_, f_,
+                                        assets=a_._replace(point_num=pn))
                     + 0.5 * jnp.mean(q["id"] ** 2)
                     + 0.4 * jnp.mean(q["exp"] ** 2))
 
         p = _adam_loop(loss_b, p, {k: sched_b for k in p},
-                       c.iters_idexp, (self.lms, focal))
+                       c.iters_idexp, aux=(a_n, self.lms, focal_j))
         t0 = _mark("phase_b_idexp", t0, p)
 
         if images is None:
@@ -219,47 +276,46 @@ class FaceTracker:
                  "euler_sel": p["euler"][sel], "trans_sel": p["trans"][sel],
                  "tex": tex, "light": jnp.zeros((bs, 27))}
 
-        def render_photo(q):
+        def render_photo(q, assets):
             idb = jnp.broadcast_to(q["id"], (bs, c.id_dim))
             texb = jnp.broadcast_to(
-                bfm.forward_tex(self.assets, q["tex"]), (bs,
-                                                         self.assets.point_num,
-                                                         3))
-            geo = bfm.forward_geo(self.assets, idb, q["exp_sel"])
+                bfm.forward_tex(assets, q["tex"]), (bs, assets.point_num, 3))
+            geo = bfm.forward_geo(assets, idb, q["exp_sel"])
             rott = bfm.rot_trans_pts(geo, bfm.euler2rot(q["euler_sel"]),
                                      q["trans_sel"])
-            normals = bfm.vertex_normals(rott, self.assets.tris,
-                                         self.assets.vert_tris)
+            normals = bfm.vertex_normals(rott, assets.tris,
+                                         assets.vert_tris)
             colors = bfm.sh_illumination(texb, normals, q["light"])
             pix = bfm.proj_pts(rott, focal, self.cxy)
             pix = pix.at[:, :, 2].multiply(-1.0)  # camera looks down -z
 
             def shade(pix_b, col_b):
                 frag = rasterize(jax.lax.stop_gradient(pix_b),
-                                 self.assets.tris, c.img_h, c.img_w,
+                                 assets.tris, c.img_h, c.img_w,
                                  **c.raster_kwargs)
                 bary = recompute_barycentrics(frag.pix_to_face, pix_b,
-                                              self.assets.tris)
+                                              assets.tris)
                 face = jnp.maximum(frag.pix_to_face, 0)
                 vals = jnp.sum(
-                    bary[..., None] * col_b[self.assets.tris[face]], axis=2)
+                    bary[..., None] * col_b[assets.tris[face]], axis=2)
                 hit = (frag.pix_to_face >= 0)
                 img = jnp.where(hit[..., None], jnp.clip(vals, 0, 255), 0.0)
                 return img, hit
 
             return jax.vmap(shade)(pix, colors)
 
-        def loss_c(q, step_weights):
+        def loss_c(q, a_, imgs_, lms_, step_weights):
+            assets = a_._replace(point_num=pn)
             w_lan, w_id, w_exp = step_weights
             idb = jnp.broadcast_to(q["id"], (bs, c.id_dim))
-            geo = bfm.get_3dlandmarks(self.assets, idb, q["exp_sel"],
+            geo = bfm.get_3dlandmarks(assets, idb, q["exp_sel"],
                                       q["euler_sel"], q["trans_sel"], focal,
                                       self.cxy)
             proj = bfm.forward_transform(geo, q["euler_sel"], q["trans_sel"],
                                          focal, self.cxy)
-            loss_lan = cal_lan_loss(proj[:, :, :2], sel_lms)
-            render, hit = render_photo(q)
-            loss_col = cal_col_loss(render, sel_imgs,
+            loss_lan = cal_lan_loss(proj[:, :, :2], lms_)
+            render, hit = render_photo(q, assets)
+            loss_col = cal_col_loss(render, imgs_,
                                     jax.lax.stop_gradient(hit).astype(jnp.float32))
             return (loss_col + loss_lan * w_lan
                     + w_id * jnp.mean(q["id"] ** 2)
@@ -270,11 +326,13 @@ class FaceTracker:
         lr_if = optax.piecewise_constant_schedule(0.01, {5: 0.2, 55: 0.2})
         lrs = {"tex": lr_tl, "light": lr_tl, "id": lr_if, "exp_sel": lr_if,
                "euler_sel": lr_if, "trans_sel": lr_if}
+        aux_c = (a_n, sel_imgs, sel_lms)
         n1 = min(51, c.iters_photo)
-        photo = _adam_loop(loss_c, photo, lrs, n1, ((3.0, 2.0, 1.0),))
+        photo = _adam_loop(loss_c, photo, lrs, n1, ((3.0, 2.0, 1.0),),
+                           aux=aux_c)
         if c.iters_photo > 51:
             photo = _adam_loop(loss_c, photo, lrs, c.iters_photo - 51,
-                               ((0.05, 1.0, 0.8),))
+                               ((0.05, 1.0, 0.8),), aux=aux_c)
 
         t0 = _mark("phase_c_photometric", t0, photo)
         p["id"] = photo["id"]
@@ -302,85 +360,91 @@ class FaceTracker:
         light = jnp.asarray(light)
         id_para = p["id"]
         texv = bfm.forward_tex(self.assets, tex)
+        a_n, pn = self._aux_assets(), self.assets.point_num
+
+        def loss_d(q, a_, imgs_, lms_, id_, texv_, pre_exp, pre_euler,
+                   pre_trans, weights):
+            assets = a_._replace(point_num=pn)
+            idb = jnp.broadcast_to(id_, (bs, c.id_dim))
+            texb = jnp.broadcast_to(texv_, (bs, pn, 3))
+            w_lan, = weights
+            geo_l = bfm.get_3dlandmarks(assets, idb, q["exp"],
+                                        q["euler"], q["trans"], focal,
+                                        self.cxy)
+            proj = bfm.forward_transform(geo_l, q["euler"], q["trans"],
+                                         focal, self.cxy)
+            loss_lan = cal_lan_loss(proj[:, :, :2], lms_)
+            loss_regexp = jnp.mean(q["exp"] ** 2)
+
+            geo = bfm.forward_geo(assets, idb, q["exp"])
+            rott = bfm.rot_trans_pts(geo, bfm.euler2rot(q["euler"]),
+                                     q["trans"])
+            normals = bfm.vertex_normals(rott, assets.tris,
+                                         assets.vert_tris)
+            colors = bfm.sh_illumination(texb, normals, q["light"])
+            pix = bfm.proj_pts(rott, focal, self.cxy)
+            pix = pix.at[:, :, 2].multiply(-1.0)
+
+            def shade(pix_b, col_b):
+                frag = rasterize(jax.lax.stop_gradient(pix_b),
+                                 assets.tris, c.img_h, c.img_w,
+                                 **c.raster_kwargs)
+                bary = recompute_barycentrics(frag.pix_to_face, pix_b,
+                                              assets.tris)
+                face = jnp.maximum(frag.pix_to_face, 0)
+                vals = jnp.sum(bary[..., None]
+                               * col_b[assets.tris[face]], axis=2)
+                hit = frag.pix_to_face >= 0
+                return (jnp.where(hit[..., None],
+                                  jnp.clip(vals, 0, 255), 0.0), hit)
+
+            render, hit = jax.vmap(shade)(pix, colors)
+            loss_col = cal_col_loss(
+                render, imgs_,
+                jax.lax.stop_gradient(hit).astype(jnp.float32))
+
+            # window 0 passes length-0 pre arrays; later windows length-5 —
+            # the runner retraces once per distinct length, not per window
+            all_exp = jnp.concatenate([pre_exp, q["exp"]])
+            all_euler = jnp.concatenate([pre_euler, q["euler"]])
+            all_trans = jnp.concatenate([pre_trans, q["trans"]])
+            nb = all_exp.shape[0]
+            geo_r = bfm.forward_geo_sub(
+                assets, jnp.broadcast_to(id_, (nb, c.id_dim)),
+                all_exp, rigid)
+            rott_r = bfm.rot_trans_pts(
+                geo_r, bfm.euler2rot(all_euler), all_trans)
+            loss_lap = cal_lap_loss(
+                rott_r.reshape(nb, -1).T)  # [3V', T]
+
+            return (0.5 * loss_col + w_lan * loss_lan
+                    + 1e5 * loss_lap + loss_regexp)
+
+        # runners hoisted out of the window loop: every window re-enters the
+        # same executables (the reference recompiles nothing because it is
+        # eager; we compile ≤2× per weight regime for ANY number of windows)
+        keys = ("exp", "euler", "trans", "light")
+        lrs = {k: 0.005 for k in keys}
+        n1 = min(31, c.iters_window)
+        run1 = make_adam_runner(loss_d, keys, lrs, n1, ((8.0,),))
+        run2 = (make_adam_runner(loss_d, keys, lrs, c.iters_window - 31,
+                                 ((1.5,),))
+                if c.iters_window > 31 else None)
 
         for i in range(int((n - 1) / bs + 1)):
             start = n - bs if (i + 1) * bs > n else i * bs
             sel = np.arange(start, start + bs)
             sel_imgs = images[sel]
             sel_lms = self.lms[sel]
-            has_pre = i > 0
-            pre_ids = np.arange(max(0, start - pre), start) if has_pre else None
+            pre_ids = np.arange(max(0, start - pre), start if i > 0 else 0)
 
             q = {"exp": exp[sel], "euler": euler[sel], "trans": trans[sel],
                  "light": light[sel]}
-            idb = jnp.broadcast_to(id_para, (bs, c.id_dim))
-            texb = jnp.broadcast_to(texv, (bs, self.assets.point_num, 3))
-
-            pre_exp = exp[pre_ids] if has_pre else None
-            pre_euler = euler[pre_ids] if has_pre else None
-            pre_trans = trans[pre_ids] if has_pre else None
-
-            def loss_d(q, weights):
-                w_lan, = weights
-                geo_l = bfm.get_3dlandmarks(self.assets, idb, q["exp"],
-                                            q["euler"], q["trans"], focal,
-                                            self.cxy)
-                proj = bfm.forward_transform(geo_l, q["euler"], q["trans"],
-                                             focal, self.cxy)
-                loss_lan = cal_lan_loss(proj[:, :, :2], sel_lms)
-                loss_regexp = jnp.mean(q["exp"] ** 2)
-
-                geo = bfm.forward_geo(self.assets, idb, q["exp"])
-                rott = bfm.rot_trans_pts(geo, bfm.euler2rot(q["euler"]),
-                                         q["trans"])
-                normals = bfm.vertex_normals(rott, self.assets.tris,
-                                             self.assets.vert_tris)
-                colors = bfm.sh_illumination(texb, normals, q["light"])
-                pix = bfm.proj_pts(rott, focal, self.cxy)
-                pix = pix.at[:, :, 2].multiply(-1.0)
-
-                def shade(pix_b, col_b):
-                    frag = rasterize(jax.lax.stop_gradient(pix_b),
-                                     self.assets.tris, c.img_h, c.img_w,
-                                     **c.raster_kwargs)
-                    bary = recompute_barycentrics(frag.pix_to_face, pix_b,
-                                                  self.assets.tris)
-                    face = jnp.maximum(frag.pix_to_face, 0)
-                    vals = jnp.sum(bary[..., None]
-                                   * col_b[self.assets.tris[face]], axis=2)
-                    hit = frag.pix_to_face >= 0
-                    return (jnp.where(hit[..., None],
-                                      jnp.clip(vals, 0, 255), 0.0), hit)
-
-                render, hit = jax.vmap(shade)(pix, colors)
-                loss_col = cal_col_loss(
-                    render, sel_imgs,
-                    jax.lax.stop_gradient(hit).astype(jnp.float32))
-
-                if has_pre:
-                    all_exp = jnp.concatenate([pre_exp, q["exp"]])
-                    all_euler = jnp.concatenate([pre_euler, q["euler"]])
-                    all_trans = jnp.concatenate([pre_trans, q["trans"]])
-                else:
-                    all_exp, all_euler, all_trans = (q["exp"], q["euler"],
-                                                     q["trans"])
-                nb = all_exp.shape[0]
-                geo_r = bfm.forward_geo_sub(
-                    self.assets, jnp.broadcast_to(id_para, (nb, c.id_dim)),
-                    all_exp, rigid)
-                rott_r = bfm.rot_trans_pts(
-                    geo_r, bfm.euler2rot(all_euler), all_trans)
-                loss_lap = cal_lap_loss(
-                    rott_r.reshape(nb, -1).T)  # [3V', T]
-
-                return (0.5 * loss_col + w_lan * loss_lan
-                        + 1e5 * loss_lap + loss_regexp)
-
-            n1 = min(31, c.iters_window)
-            q = _adam_loop(loss_d, q, {k: 0.005 for k in q}, n1, ((8.0,),))
-            if c.iters_window > 31:
-                q = _adam_loop(loss_d, q, {k: 0.005 for k in q},
-                               c.iters_window - 31, ((1.5,),))
+            aux = (a_n, sel_imgs, sel_lms, id_para, texv,
+                   exp[pre_ids], euler[pre_ids], trans[pre_ids])
+            q = run1(q, aux)
+            if run2 is not None:
+                q = run2(q, aux)
 
             exp = exp.at[sel].set(q["exp"])
             euler = euler.at[sel].set(q["euler"])

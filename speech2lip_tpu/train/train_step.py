@@ -35,7 +35,8 @@ from speech2lip_tpu.models import syncnet as syncnet_mod
 from speech2lip_tpu.ops.coords import ensemble_coords, get_coords
 from speech2lip_tpu.ops.embedders import fourier_embed
 from speech2lip_tpu.ops.geometry import (intrinsics, inverse_warp,
-                                         rel_pose_obs2can)
+                                         rel_pose_obs2can, warp_grid_crop)
+from speech2lip_tpu.ops.grid_sample import grid_sample_onehot_border
 from speech2lip_tpu.train import losses
 from speech2lip_tpu.infer.renderer import batched_frame_feature
 
@@ -72,6 +73,12 @@ class StepStatics:
     face_bbox: Tuple[int, int, int, int] = (0, 0, 96, 96)  # x, y, x2, y2
     ensemble: bool = True
     window: Optional[Tuple[int, int, int, int]] = None  # validated warp win
+    # static bbox (x0, x1, y0, y1) of the canonical-depth loss mask's
+    # support: the masked MSE is exactly zero outside it, so the warp +
+    # sampling run only on the crop, and the sampling rides the MXU
+    # (grid_sample_onehot_border) instead of 4 serialized gathers.
+    # None = full-frame gather path (used when masks are unavailable).
+    depth_loss_box: Optional[Tuple[int, int, int, int]] = None
     add_noise_uv: bool = False      # gaussian uv jitter (training.py:259)
     add_noise_audio: bool = False   # gaussian audio-code noise (training.py:213-216)
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision: fp32
@@ -227,19 +234,46 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
         inv_k = jnp.linalg.inv(k)
         depth = params["canonical_depth"]
 
-        def warp_one(face_gt, euler, trans, can_euler, can_trans):
-            rel = rel_pose_obs2can(can_euler[None], can_trans[None],
-                                   euler[None], trans[None])[0]
-            warped, _ = inverse_warp(face_gt, depth, rel, k, inv_k)
-            return warped
+        if st.depth_loss_box is not None:
+            # fast path: the loss mask is a per-identity dataset constant
+            # whose support lies inside st.depth_loss_box, so sum(err*mask)
+            # and sum(mask) over the crop equal the full-frame sums — the
+            # loss value is EXACTLY the slow path's.  The source sampling
+            # (whose grid depends on the learned depth and cannot move to
+            # the host) runs as MXU one-hot contractions.
+            x0, x1, y0, y1 = st.depth_loss_box
+            rel = rel_pose_obs2can(
+                batch["canonical_euler"], batch["canonical_trans"],
+                batch["euler"], batch["trans"])
+            grid = jax.vmap(lambda r: warp_grid_crop(
+                depth, r, k, inv_k, st.depth_loss_box,
+                st.face_h, st.face_w))(rel)
+            bsz = grid.shape[0]
+            pred_canonical = grid_sample_onehot_border(
+                batch["rgb_face_ori"], grid.reshape(bsz, -1, 2))
+            pred_canonical = pred_canonical.reshape(
+                bsz, y1 - y0, x1 - x0, -1)
+            loss_mask = (batch["mask_head_canonical"][:, y0:y1, x0:x1]
+                         * (1.0 - batch["mask_face_canonical"][:, y0:y1,
+                                                               x0:x1]))
+            ld = losses.photometric_loss(
+                pred_canonical, batch["rgb_face_zero"][:, y0:y1, x0:x1],
+                mask=loss_mask)
+        else:
+            def warp_one(face_gt, euler, trans, can_euler, can_trans):
+                rel = rel_pose_obs2can(can_euler[None], can_trans[None],
+                                       euler[None], trans[None])[0]
+                warped, _ = inverse_warp(face_gt, depth, rel, k, inv_k)
+                return warped
 
-        pred_canonical = jax.vmap(warp_one)(
-            batch["rgb_face_ori"], batch["euler"], batch["trans"],
-            batch["canonical_euler"], batch["canonical_trans"])
-        loss_mask = (batch["mask_head_canonical"]
-                     * (1.0 - batch["mask_face_canonical"]))
-        ld = losses.photometric_loss(pred_canonical, batch["rgb_face_zero"],
-                                     mask=loss_mask)
+            pred_canonical = jax.vmap(warp_one)(
+                batch["rgb_face_ori"], batch["euler"], batch["trans"],
+                batch["canonical_euler"], batch["canonical_trans"])
+            loss_mask = (batch["mask_head_canonical"]
+                         * (1.0 - batch["mask_face_canonical"]))
+            ld = losses.photometric_loss(pred_canonical,
+                                         batch["rgb_face_zero"],
+                                         mask=loss_mask)
         total = total + ld
         metrics["loss_canonical_depth_photo"] = ld
 

@@ -65,10 +65,31 @@ def build_statics(cfg: Dict[str, Any], ds: LipDataset,
         face_bbox=bbox,
         ensemble=bool(tr["use_local_ensemble"]),
         window=_warp_window(cfg, ds),
+        depth_loss_box=(_depth_loss_box(ds)
+                        if tr.get("depth_loss_crop", True) else None),
         add_noise_uv=bool(tr.get("add_noise_uv", False)),
         add_noise_audio=bool(tr.get("add_noise_audio", False)),
         compute_dtype=str(tr.get("compute_dtype", "float32")),
     )
+
+
+def _depth_loss_box(ds: LipDataset):
+    """Static bbox (x0, x1, y0, y1) of the canonical-depth loss mask's
+    support.  The mask ``head * (1 - face)`` is a per-identity dataset
+    constant, so its nonzero bounding box is static and the loss crop
+    (train_step.StepStatics.depth_loss_box) is EXACT — every pixel the
+    masked MSE can touch lies inside the box."""
+    if not (hasattr(ds, "mask_head_canonical")
+            and hasattr(ds, "mask_face_canonical")):
+        return None
+    lm = np.asarray(ds.mask_head_canonical) * (
+        1.0 - np.asarray(ds.mask_face_canonical))
+    sup = lm.max(axis=-1) > 0
+    ys, xs = np.nonzero(sup)
+    if ys.size == 0:
+        return None
+    return (int(xs.min()), int(xs.max()) + 1,
+            int(ys.min()), int(ys.max()) + 1)
 
 
 _WINDOW_CACHE: Dict[Any, Any] = {}

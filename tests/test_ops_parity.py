@@ -110,6 +110,63 @@ def test_grid_sample_matches_torch(rng, padding_mode):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_grid_sample_onehot_border_matches_torch(rng):
+    """MXU one-hot border sampling == torch grid_sample(border) for EVERY
+    grid value, including far out-of-range coordinates (the canonical-depth
+    warp can land anywhere when the learned depth is bad early on)."""
+    from speech2lip_tpu.ops.grid_sample import grid_sample_onehot_border
+    img = rng.standard_normal((2, 9, 11, 3)).astype(np.float32)
+    grid = rng.uniform(-3.0, 3.0, (2, 35, 2)).astype(np.float32)
+    out = np.asarray(grid_sample_onehot_border(jnp.asarray(img),
+                                               jnp.asarray(grid)))
+    ref = F.grid_sample(torch.from_numpy(img).permute(0, 3, 1, 2),
+                        torch.from_numpy(grid).view(2, 35, 1, 2),
+                        mode="bilinear", padding_mode="border",
+                        align_corners=False)
+    ref = ref.permute(0, 2, 3, 1).numpy().reshape(2, 35, 3)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_warp_grid_crop_matches_full_frame(rng):
+    """warp_grid_crop == backproject+project grids at the crop pixels, and
+    the crop fast path (warp_grid_crop + onehot border) reproduces
+    inverse_warp's output on the crop."""
+    from speech2lip_tpu.ops.geometry import (backproject_depth, intrinsics,
+                                             inverse_warp, project_3d,
+                                             warp_grid_crop)
+    from speech2lip_tpu.ops.grid_sample import grid_sample_onehot_border
+    h, w = 17, 19
+    box = (3, 14, 2, 11)  # x0, x1, y0, y1
+    depth = (rng.uniform(2.0, 4.0, (h, w))).astype(np.float32)
+    src = rng.standard_normal((h, w, 3)).astype(np.float32)
+    k = intrinsics(25.0, h, w)
+    inv_k = np.linalg.pinv(k).astype(np.float32)
+    rel = np.eye(4, dtype=np.float32)
+    rel[:3, :3] = np.asarray(
+        [[0.999, -0.02, 0.04], [0.02, 0.999, -0.01], [-0.04, 0.01, 0.999]],
+        np.float32)
+    rel[:3, 3] = [0.05, -0.03, 0.1]
+
+    grid_full, _ = project_3d(backproject_depth(jnp.asarray(depth),
+                                                jnp.asarray(inv_k)),
+                              jnp.asarray(k), jnp.asarray(rel), h, w)
+    grid_crop = warp_grid_crop(jnp.asarray(depth), jnp.asarray(rel),
+                               jnp.asarray(k), jnp.asarray(inv_k), box, h, w)
+    x0, x1, y0, y1 = box
+    np.testing.assert_allclose(np.asarray(grid_crop),
+                               np.asarray(grid_full)[y0:y1, x0:x1],
+                               rtol=1e-5, atol=1e-6)
+
+    warped_full, _ = inverse_warp(jnp.asarray(src), jnp.asarray(depth),
+                                  jnp.asarray(rel), jnp.asarray(k),
+                                  jnp.asarray(inv_k))
+    warped_crop = grid_sample_onehot_border(
+        jnp.asarray(src)[None], grid_crop.reshape(1, -1, 2))
+    np.testing.assert_allclose(
+        np.asarray(warped_crop).reshape(y1 - y0, x1 - x0, 3),
+        np.asarray(warped_full)[y0:y1, x0:x1], rtol=1e-4, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # geometry
 # ---------------------------------------------------------------------------

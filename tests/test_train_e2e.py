@@ -139,6 +139,47 @@ def test_blackaug_static_warp_bit_exact(tree):
     np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-6)
 
 
+def test_canonical_depth_loss_crop_equals_full_frame(tree):
+    """The static-crop canonical-depth loss (StepStatics.depth_loss_box +
+    warp_grid_crop + grid_sample_onehot_border) computes the SAME loss as
+    the full-frame gather path: the mask's support lies inside the box, so
+    the masked sums agree; per-pixel warp math is identical.  Gradients
+    w.r.t. the learned depth must agree too (the crop restricts which depth
+    pixels receive gradient — outside the box the full path's gradient is
+    zero because the mask kills the error)."""
+    import dataclasses
+    from speech2lip_tpu.train.train_step import compute_losses
+    from speech2lip_tpu.train.trainer import _depth_loss_box
+
+    root, geo, cfg = tree
+    ds = LipDataset(root, "train", cfg)
+    params, unet_p, unet_s, frozen, st = _build(cfg, geo, ds)
+    box = _depth_loss_box(ds)
+    assert box is not None
+    x0, x1, y0, y1 = box
+    assert 0 <= x0 < x1 <= geo["face"] and 0 <= y0 < y1 <= geo["face"]
+
+    batch = stack_batch([ds.load_frame(i) for i in range(2)])
+    batch = jax.tree.map(jnp.asarray, batch)
+    key = jax.random.PRNGKey(7)
+
+    def term_and_grad(statics):
+        def f(depth):
+            p = dict(params, canonical_depth=depth)
+            _, (m, _) = compute_losses(p, unet_p, unet_s, frozen, batch,
+                                       key, statics)
+            return m["loss_canonical_depth_photo"]
+        val, g = jax.value_and_grad(f)(params["canonical_depth"])
+        return float(val), np.asarray(g)
+
+    v_slow, g_slow = term_and_grad(dataclasses.replace(
+        st, depth_loss_box=None))
+    v_fast, g_fast = term_and_grad(dataclasses.replace(
+        st, depth_loss_box=box))
+    np.testing.assert_allclose(v_fast, v_slow, rtol=1e-5)
+    np.testing.assert_allclose(g_fast, g_slow, rtol=1e-4, atol=1e-6)
+
+
 def test_train_step_sync_stage(tree):
     root, geo, cfg = tree
     ds = LipDataset(root, "train", cfg)
