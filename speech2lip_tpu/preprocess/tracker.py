@@ -56,7 +56,7 @@ def cal_lap_loss(x):
 
 
 def make_adam_runner(loss_fn, param_keys, lr_schedules, n_iters: int,
-                     static_args=()):
+                     static_args=(), segment: int = None):
     """Build a REUSABLE jitted Adam loop: ``run(params, aux)``.
 
     One compile serves every subsequent call with the same shapes — the
@@ -72,7 +72,17 @@ def make_adam_runner(loss_fn, param_keys, lr_schedules, n_iters: int,
     50 key frames at 500² alone are 150 MB).
 
     lr_schedules: {name: optax schedule or float} — one Adam per param with
-    its own LR (the reference uses separate optimizers per group)."""
+    its own LR (the reference uses separate optimizers per group).
+
+    ``segment``: max fori_loop iterations per DEVICE DISPATCH.  The loop's
+    trip count is a traced argument (fori_loop with a dynamic bound), so
+    the host re-enters ONE executable ceil(n_iters/segment) times with the
+    Adam state carried over — iteration-for-iteration identical to a
+    single dispatch (the schedules read the step count from the optimizer
+    state, not the loop index).  Long single dispatches (phase c: 51
+    iterations × 50 differentiable 500² renders ≈ minutes of device time)
+    crash the tunneled TPU worker; bounding dispatch length keeps each
+    call inside the worker's tolerance."""
     opts = {k: optax.adam(lr_schedules.get(k, 1e-2)) for k in param_keys}
 
     def body(aux, _, carry):
@@ -85,23 +95,28 @@ def make_adam_runner(loss_fn, param_keys, lr_schedules, n_iters: int,
         return new_p, new_s
 
     @jax.jit
-    def run(p, s, aux):
-        return jax.lax.fori_loop(0, n_iters,
-                                 functools.partial(body, aux), (p, s))
+    def run(p, s, aux, k):
+        return jax.lax.fori_loop(0, k, functools.partial(body, aux), (p, s))
 
     def call(params, aux=()):
-        opt_states = {k: opts[k].init(params[k]) for k in params}
-        final_p, _ = run(params, opt_states, aux)
-        return final_p
+        p = params
+        s = {k: opts[k].init(params[k]) for k in params}
+        seg = n_iters if not segment else min(segment, n_iters)
+        done = 0
+        while done < n_iters:
+            k = min(seg, n_iters - done)
+            p, s = run(p, s, aux, jnp.int32(k))
+            done += k
+        return p
 
     return call
 
 
 def _adam_loop(loss_fn, params: Dict[str, jnp.ndarray], lr_schedules,
-               n_iters: int, static_args=(), aux=()):
+               n_iters: int, static_args=(), aux=(), segment=None):
     """One-shot convenience wrapper over ``make_adam_runner``."""
     return make_adam_runner(loss_fn, list(params), lr_schedules, n_iters,
-                            static_args)(params, aux)
+                            static_args, segment=segment)(params, aux)
 
 
 @dataclass
@@ -119,6 +134,17 @@ class TrackerConfig:
     iters_idexp: int = 2000
     iters_photo: int = 71
     iters_window: int = 50
+    # frames rendered at once inside the photometric losses (phases c/d).
+    # The loss is a mean of per-frame scalars, so chunking is exact; the
+    # whole-batch vmap materializes [B, H, W, 3, 3] barycentric-blend
+    # intermediates in the backward pass — 19 GB at B=50/500², over HBM.
+    photo_chunk: int = 4
+    # max Adam iterations per device dispatch (make_adam_runner segment):
+    # photometric iterations render photo_chunk×ceil(B/chunk) frames each,
+    # landmark iterations are ~ms — both bounded to keep any single
+    # dispatch well under the tunneled worker's watchdog.
+    photo_segment: int = 8
+    lms_segment: int = 500
     raster_kwargs: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -155,6 +181,39 @@ class FaceTracker:
                                      self.cxy)
         return cal_lan_loss(proj[:, :, :2], lms)
 
+    def _chunked_col_loss(self, pix, colors, imgs, assets):
+        """Photometric term == ``cal_col_loss(render, imgs, hit)`` with the
+        whole-batch render replaced by a ``photo_chunk``-frame
+        ``lax.map`` under ``jax.checkpoint``.
+
+        Exact: the loss is a mean of per-frame scalars, and each frame's
+        term here applies the identical shade + distance ops.  Peak memory
+        drops from O(B) frames of barycentric-blend intermediates (the
+        backward of the B=50 vmap wants a 19 GB [3, B, 500, 500, 3]
+        tensor) to O(photo_chunk); the checkpoint re-renders a chunk in
+        the backward instead of storing its intermediates."""
+        c = self.cfg
+
+        def frame_term(args):
+            pix_b, col_b, img_b = args
+            frag = rasterize(jax.lax.stop_gradient(pix_b), assets.tris,
+                             c.img_h, c.img_w, **c.raster_kwargs)
+            bary = recompute_barycentrics(frag.pix_to_face, pix_b,
+                                          assets.tris)
+            face = jnp.maximum(frag.pix_to_face, 0)
+            vals = jnp.sum(bary[..., None] * col_b[assets.tris[face]],
+                           axis=2)
+            hit = frag.pix_to_face >= 0
+            img = jnp.where(hit[..., None], jnp.clip(vals, 0, 255), 0.0)
+            m = jax.lax.stop_gradient(hit).astype(jnp.float32)
+            dist = (jnp.sqrt(jnp.sum((img - img_b) ** 2, axis=2) + 1e-12)
+                    * m / 255.0)
+            return jnp.sum(dist) / jnp.maximum(jnp.sum(m), 1e-6)
+
+        terms = jax.lax.map(jax.checkpoint(frame_term), (pix, colors, imgs),
+                            batch_size=min(c.photo_chunk, pix.shape[0]))
+        return jnp.mean(terms)
+
     def find_focal(self, step: int = 100, lo: int = 600, hi: int = 1500,
                    frame_stride: int = 40) -> float:
         """Grid-search the focal length (face_tracker.py:213-281)."""
@@ -182,10 +241,12 @@ class FaceTracker:
         # serves the whole candidate grid
         run_pose = make_adam_runner(loss_pose, ("euler", "trans"),
                                     {"euler": 0.1, "trans": 0.1},
-                                    c.iters_focal_pose)
+                                    c.iters_focal_pose,
+                                    segment=c.lms_segment)
         keys = ("id", "exp", "euler", "trans")
         run_all = make_adam_runner(loss_all, keys, {k: sched for k in keys},
-                                   c.iters_focal_idexp)
+                                   c.iters_focal_idexp,
+                                   segment=c.lms_segment)
 
         best_focal, best_loss = hi, np.inf
         for focal in range(lo, hi, step):
@@ -218,6 +279,9 @@ class FaceTracker:
             if timings is not None:
                 np.asarray(jax.tree.leaves(tree)[0])  # device sync
                 timings[name] = _time.perf_counter() - t0
+                import sys
+                print(f"# {name}: {timings[name]:.1f}s", file=sys.stderr,
+                      flush=True)
             return _time.perf_counter()
 
         t0 = _time.perf_counter()
@@ -243,7 +307,7 @@ class FaceTracker:
                 assets=a_._replace(point_num=pn))
 
         pose = _adam_loop(loss_a, pose, {"euler": sched_a, "trans": sched_a},
-                          c.iters_pose,
+                          c.iters_pose, segment=c.lms_segment,
                           aux=(a_n, self.lms, focal_j, p["id"], p["exp"]))
         p.update(pose)
         t0 = _mark("phase_a_pose", t0, pose)
@@ -258,7 +322,8 @@ class FaceTracker:
                     + 0.4 * jnp.mean(q["exp"] ** 2))
 
         p = _adam_loop(loss_b, p, {k: sched_b for k in p},
-                       c.iters_idexp, aux=(a_n, self.lms, focal_j))
+                       c.iters_idexp, segment=c.lms_segment,
+                       aux=(a_n, self.lms, focal_j))
         t0 = _mark("phase_b_idexp", t0, p)
 
         if images is None:
@@ -276,7 +341,7 @@ class FaceTracker:
                  "euler_sel": p["euler"][sel], "trans_sel": p["trans"][sel],
                  "tex": tex, "light": jnp.zeros((bs, 27))}
 
-        def render_photo(q, assets):
+        def pix_colors(q, assets):
             idb = jnp.broadcast_to(q["id"], (bs, c.id_dim))
             texb = jnp.broadcast_to(
                 bfm.forward_tex(assets, q["tex"]), (bs, assets.point_num, 3))
@@ -288,21 +353,7 @@ class FaceTracker:
             colors = bfm.sh_illumination(texb, normals, q["light"])
             pix = bfm.proj_pts(rott, focal, self.cxy)
             pix = pix.at[:, :, 2].multiply(-1.0)  # camera looks down -z
-
-            def shade(pix_b, col_b):
-                frag = rasterize(jax.lax.stop_gradient(pix_b),
-                                 assets.tris, c.img_h, c.img_w,
-                                 **c.raster_kwargs)
-                bary = recompute_barycentrics(frag.pix_to_face, pix_b,
-                                              assets.tris)
-                face = jnp.maximum(frag.pix_to_face, 0)
-                vals = jnp.sum(
-                    bary[..., None] * col_b[assets.tris[face]], axis=2)
-                hit = (frag.pix_to_face >= 0)
-                img = jnp.where(hit[..., None], jnp.clip(vals, 0, 255), 0.0)
-                return img, hit
-
-            return jax.vmap(shade)(pix, colors)
+            return pix, colors
 
         def loss_c(q, a_, imgs_, lms_, step_weights):
             assets = a_._replace(point_num=pn)
@@ -314,9 +365,8 @@ class FaceTracker:
             proj = bfm.forward_transform(geo, q["euler_sel"], q["trans_sel"],
                                          focal, self.cxy)
             loss_lan = cal_lan_loss(proj[:, :, :2], lms_)
-            render, hit = render_photo(q, assets)
-            loss_col = cal_col_loss(render, imgs_,
-                                    jax.lax.stop_gradient(hit).astype(jnp.float32))
+            pix, colors = pix_colors(q, assets)
+            loss_col = self._chunked_col_loss(pix, colors, imgs_, assets)
             return (loss_col + loss_lan * w_lan
                     + w_id * jnp.mean(q["id"] ** 2)
                     + w_exp * jnp.mean(q["exp_sel"] ** 2))
@@ -329,10 +379,11 @@ class FaceTracker:
         aux_c = (a_n, sel_imgs, sel_lms)
         n1 = min(51, c.iters_photo)
         photo = _adam_loop(loss_c, photo, lrs, n1, ((3.0, 2.0, 1.0),),
-                           aux=aux_c)
+                           aux=aux_c, segment=c.photo_segment)
         if c.iters_photo > 51:
             photo = _adam_loop(loss_c, photo, lrs, c.iters_photo - 51,
-                               ((0.05, 1.0, 0.8),), aux=aux_c)
+                               ((0.05, 1.0, 0.8),), aux=aux_c,
+                               segment=c.photo_segment)
 
         t0 = _mark("phase_c_photometric", t0, photo)
         p["id"] = photo["id"]
@@ -384,24 +435,7 @@ class FaceTracker:
             colors = bfm.sh_illumination(texb, normals, q["light"])
             pix = bfm.proj_pts(rott, focal, self.cxy)
             pix = pix.at[:, :, 2].multiply(-1.0)
-
-            def shade(pix_b, col_b):
-                frag = rasterize(jax.lax.stop_gradient(pix_b),
-                                 assets.tris, c.img_h, c.img_w,
-                                 **c.raster_kwargs)
-                bary = recompute_barycentrics(frag.pix_to_face, pix_b,
-                                              assets.tris)
-                face = jnp.maximum(frag.pix_to_face, 0)
-                vals = jnp.sum(bary[..., None]
-                               * col_b[assets.tris[face]], axis=2)
-                hit = frag.pix_to_face >= 0
-                return (jnp.where(hit[..., None],
-                                  jnp.clip(vals, 0, 255), 0.0), hit)
-
-            render, hit = jax.vmap(shade)(pix, colors)
-            loss_col = cal_col_loss(
-                render, imgs_,
-                jax.lax.stop_gradient(hit).astype(jnp.float32))
+            loss_col = self._chunked_col_loss(pix, colors, imgs_, assets)
 
             # window 0 passes length-0 pre arrays; later windows length-5 —
             # the runner retraces once per distinct length, not per window
@@ -426,9 +460,10 @@ class FaceTracker:
         keys = ("exp", "euler", "trans", "light")
         lrs = {k: 0.005 for k in keys}
         n1 = min(31, c.iters_window)
-        run1 = make_adam_runner(loss_d, keys, lrs, n1, ((8.0,),))
+        run1 = make_adam_runner(loss_d, keys, lrs, n1, ((8.0,),),
+                                segment=c.photo_segment)
         run2 = (make_adam_runner(loss_d, keys, lrs, c.iters_window - 31,
-                                 ((1.5,),))
+                                 ((1.5,),), segment=c.photo_segment)
                 if c.iters_window > 31 else None)
 
         for i in range(int((n - 1) / bs + 1)):

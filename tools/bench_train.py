@@ -160,6 +160,7 @@ def ablate():
     variants = [
         ("full", {}),
         ("full+hostwarp", {}),    # blackaug statics precomputed on host
+        ("full+hw+dcrop", {"depth_loss_box": "auto"}),  # + depth-loss crop
         ("no-blackaug", {"use_blackaug": False}),
         ("no-depthloss", {"use_canonical_depth_loss": False}),
         ("no-perceptual", {"use_perceptual": False}),
@@ -182,10 +183,26 @@ def ablate():
                       ).astype(fz.dtype))
         batch_hw = jax.tree.map(jnp.asarray, raw_hw)
         batch = jax.tree.map(jnp.asarray, raw)
+        import numpy as np
+        lm = (np.asarray(raw["mask_head_canonical"])
+              * (1.0 - np.asarray(raw["mask_face_canonical"])))
+        sup = lm.max(axis=(0, -1)) > 0
+        ys, xs = np.nonzero(sup)
+        dbox = (int(xs.min()), int(xs.max()) + 1,
+                int(ys.min()), int(ys.max()) + 1) if ys.size else None
+        if dbox is not None:
+            print(f"# depth-loss crop: {dbox} "
+                  f"({dbox[1]-dbox[0]}x{dbox[3]-dbox[2]} of {face}²)",
+                  flush=True)
         trainable = {"model": params, "unet": unet_p}
         state0 = TrainState(params, unet_p, unet_s, opt.init(trainable),
                             jnp.int32(0))
         for name, over in variants:
+            over = dict(over)
+            if over.get("depth_loss_box") == "auto":
+                if dbox is None:
+                    continue
+                over["depth_loss_box"] = dbox
             st = StepStatics(
                 lip_h=lip_h, lip_w=lip_w, lip_x=geo["lip_x"],
                 lip_y=geo["lip_y"], face_h=face, face_w=face, focal=1200.0,
@@ -193,7 +210,7 @@ def ablate():
                 compute_dtype="bfloat16", **over)
             step = make_train_step(opt, st, frozen, donate=False)
             dt = bench(step, state0,
-                       batch_hw if name == "full+hostwarp" else batch)
+                       batch_hw if name.startswith("full+h") else batch)
             print(f"batch {b} {name:13s}: {dt * 1e3:7.1f} ms/step "
                   f"({dt * 1e3 / b:6.1f} ms/frame)", flush=True)
 
