@@ -73,12 +73,19 @@ def build_statics(cfg: Dict[str, Any], ds: LipDataset,
     )
 
 
-def _depth_loss_box(ds: LipDataset):
+def _depth_loss_box(ds: LipDataset, max_pixels: int = 16384):
     """Static bbox (x0, x1, y0, y1) of the canonical-depth loss mask's
     support.  The mask ``head * (1 - face)`` is a per-identity dataset
     constant, so its nonzero bounding box is static and the loss crop
     (train_step.StepStatics.depth_loss_box) is EXACT — every pixel the
-    masked MSE can touch lies inside the box."""
+    masked MSE can touch lies inside the box.
+
+    Only boxes of ≤ ``max_pixels`` crop pixels are returned: the MXU
+    one-hot sampling route materializes a [B, P, W·C] intermediate, which
+    is both the perf win (small P: warp windows) and an HBM hazard (near
+    full-frame P at 500²: 1.4 GB/frame, measured OOM at batch 8 and ZERO
+    speedup at batch 1 over the gather path — tools/bench_train.py
+    --ablate).  Large-support masks keep the full-frame gather path."""
     if not (hasattr(ds, "mask_head_canonical")
             and hasattr(ds, "mask_face_canonical")):
         return None
@@ -88,8 +95,11 @@ def _depth_loss_box(ds: LipDataset):
     ys, xs = np.nonzero(sup)
     if ys.size == 0:
         return None
-    return (int(xs.min()), int(xs.max()) + 1,
-            int(ys.min()), int(ys.max()) + 1)
+    box = (int(xs.min()), int(xs.max()) + 1,
+           int(ys.min()), int(ys.max()) + 1)
+    if (box[1] - box[0]) * (box[3] - box[2]) > max_pixels:
+        return None
+    return box
 
 
 _WINDOW_CACHE: Dict[Any, Any] = {}

@@ -190,7 +190,13 @@ def ablate():
         ys, xs = np.nonzero(sup)
         dbox = (int(xs.min()), int(xs.max()) + 1,
                 int(ys.min()), int(ys.max()) + 1) if ys.size else None
-        if dbox is not None:
+        if dbox is not None and (dbox[1] - dbox[0]) * (dbox[3] - dbox[2]) > 16384:
+            # same gate as trainer._depth_loss_box: the one-hot route's
+            # [B, P, W·C] intermediate OOMs at near-full-frame P (batch 8)
+            print(f"# depth-loss crop {dbox} too large for the MXU route "
+                  "- variant skipped", flush=True)
+            dbox = None
+        elif dbox is not None:
             print(f"# depth-loss crop: {dbox} "
                   f"({dbox[1]-dbox[0]}x{dbox[3]-dbox[2]} of {face}²)",
                   flush=True)
