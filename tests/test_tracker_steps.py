@@ -11,7 +11,33 @@ import jax.numpy as jnp
 from speech2lip_tpu.preprocess import face_3dmm as bfm
 from speech2lip_tpu.preprocess import steps
 from speech2lip_tpu.preprocess.tracker import (FaceTracker, TrackerConfig,
-                                               cal_lap_loss)
+                                               cal_lap_loss,
+                                               make_adam_runner)
+
+
+def test_segmented_adam_equals_single_dispatch():
+    """make_adam_runner(segment=k) must be iteration-for-iteration
+    IDENTICAL to one dispatch: the trip count is a traced arg re-entering
+    the same executable with the Adam state carried over (the schedules
+    read the step count from the optimizer state, not the loop index)."""
+    import optax
+    sched = optax.piecewise_constant_schedule(0.1, {7: 0.2})
+
+    def loss(q, target):
+        return jnp.sum((q["a"] - target) ** 2) + jnp.sum(q["b"] ** 4)
+
+    p0 = {"a": jnp.arange(4, dtype=jnp.float32),
+          "b": jnp.ones((3,)) * 0.5}
+    tgt = jnp.asarray([5.0, -1.0, 2.0, 0.0])
+    outs = []
+    for seg in (None, 3, 5, 13):
+        run = make_adam_runner(loss, ("a", "b"), {"a": sched, "b": 0.05},
+                               13, segment=seg)
+        outs.append(run(dict(p0), (tgt,)))
+    for o in outs[1:]:
+        for k in p0:
+            np.testing.assert_array_equal(np.asarray(outs[0][k]),
+                                          np.asarray(o[k]))
 
 H = W = 64
 FOCAL = 80.0
