@@ -74,6 +74,9 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "canonical_depth_init_path": None,
         "param_dtype": "float32",
         "compute_dtype": "float32",   # set 'bfloat16' for MXU-friendly inference
+        # hat-sample (dense-MXU) train gathers: true | false | 'auto'
+        # (auto = TPU + bfloat16 + batch_size >= 4; see train/trainer.py)
+        "pallas_gather": "auto",
     },
     "training": {
         "out_dir": "log/face_simple/run",

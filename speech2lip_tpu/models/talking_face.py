@@ -311,7 +311,8 @@ def post_fusion_composite(rgb_lip, face_canonical, rgb_gt, mask_lip,
                           blackaug_noise: Optional[tuple] = None,
                           window: Optional[tuple] = None,
                           use_pallas: bool = False,
-                          static_warp: Optional[tuple] = None):
+                          static_warp: Optional[tuple] = None,
+                          pallas_gather: bool = False):
     """Composite the rendered lip into the observed-pose face.
 
     Mirrors post_fusion2_onlylip_light (tf_nerf.py:320-386) up to (but not
@@ -343,6 +344,9 @@ def post_fusion_composite(rgb_lip, face_canonical, rgb_gt, mask_lip,
         dominant train-step cost on TPU: ~110 ms/frame at 500²) exactly:
         outside the window every sampled position lies outside the
         expanded box where merged_canonical ≡ face_canonical.
+      pallas_gather: run the remaining differentiable window gather
+        through ops/pallas/hat_sample (TPU): its backward w.r.t. the
+        source is dense MXU matmuls instead of a 500² scatter-add.
     Returns:
       (unet_input [B, H, W, 3], rgb_gt' possibly noise-swapped,
        merged_canonical [B, H, W, 3]).
@@ -382,7 +386,17 @@ def post_fusion_composite(rgb_lip, face_canonical, rgb_gt, mask_lip,
                                coord, padding_mode="zeros")
         grid_w = jax.lax.slice(coord, (0, wy0, wx0, 0),
                                (b, wy0 + wh, wx0 + ww, 2))
-        win = grid_sample(merged_canonical, grid_w, padding_mode="zeros")
+        if pallas_gather:
+            # dense-MXU differentiable sampler: the gather's scatter-add
+            # backward w.r.t. merged_canonical becomes one matmul per
+            # channel (ops/pallas/hat_sample)
+            from speech2lip_tpu.ops.pallas.hat_sample import hat_sample
+            win = hat_sample(merged_canonical,
+                             grid_w.reshape(b, wh * ww, 2)
+                             ).reshape(b, wh, ww, 3)
+            win = win.astype(full.dtype)
+        else:
+            win = grid_sample(merged_canonical, grid_w, padding_mode="zeros")
         rgb_merged = jax.lax.dynamic_update_slice(full, win, (0, wy0, wx0, 0))
     else:
         rgb_merged = grid_sample(merged_canonical, coord, padding_mode="zeros")

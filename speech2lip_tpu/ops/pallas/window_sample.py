@@ -89,7 +89,10 @@ def _kernel(ixy_ref, src_ref, out_ref, *, channels):
     outs = []
     for ch in range(channels):
         src = src_ref[0, ch]                                  # [Hs, Ws]
-        gc = jnp.dot(roww, src, preferred_element_type=jnp.float32)
+        # HIGHEST: Mosaic's default lowers f32 dots through single-pass
+        # bf16 (~2^-8 relative error) — this is the full-precision path
+        gc = jnp.dot(roww, src, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         outs.append(jnp.sum(colw * gc, axis=1, keepdims=True))
     out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 

@@ -83,6 +83,11 @@ class StepStatics:
     add_noise_audio: bool = False   # gaussian audio-code noise (training.py:213-216)
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision: fp32
                                     # master params/Adam, bf16 forward/grads
+    # TPU fast path for the step's two XLA-hostile gathers (the blackaug
+    # window gather's scatter-add backward and the depth-loss warp): ride
+    # ops/pallas/hat_sample (dense-MXU custom-VJP sampler).  Weights
+    # quantize at 2^-9 in bf16 — kept off for the f32 parity path.
+    pallas_gather: bool = False
 
 
 def render_lip_ensemble(params, audio: jnp.ndarray, t_indices: jnp.ndarray,
@@ -146,7 +151,8 @@ def _fuse_frame(params, unet_params, unet_state, rgb_lip, batch, coord,
         rgb_lip, batch["rgb_face_zero"], batch["rgb_face_ori"],
         batch["mask_lip_canonical"], coord, st.lip_x, st.lip_y,
         expand_divisor=st.expand_divisor, blackaug_noise=noise,
-        window=st.window, static_warp=static_warp)
+        window=st.window, static_warp=static_warp,
+        pallas_gather=st.pallas_gather)
     if mesh is not None:
         from speech2lip_tpu.parallel.mesh import pixel_sharded
         unet_in = pixel_sharded(unet_in, mesh)
@@ -249,8 +255,14 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
                 depth, r, k, inv_k, st.depth_loss_box,
                 st.face_h, st.face_w))(rel)
             bsz = grid.shape[0]
-            pred_canonical = grid_sample_onehot_border(
-                batch["rgb_face_ori"], grid.reshape(bsz, -1, 2))
+            if st.pallas_gather:
+                from speech2lip_tpu.ops.pallas.hat_sample import hat_sample
+                pred_canonical = hat_sample(
+                    batch["rgb_face_ori"], grid.reshape(bsz, -1, 2),
+                    border=True)
+            else:
+                pred_canonical = grid_sample_onehot_border(
+                    batch["rgb_face_ori"], grid.reshape(bsz, -1, 2))
             pred_canonical = pred_canonical.reshape(
                 bsz, y1 - y0, x1 - x0, -1)
             loss_mask = (batch["mask_head_canonical"][:, y0:y1, x0:x1]
@@ -259,6 +271,30 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
             ld = losses.photometric_loss(
                 pred_canonical, batch["rgb_face_zero"][:, y0:y1, x0:x1],
                 mask=loss_mask)
+        elif st.pallas_gather:
+            from speech2lip_tpu.ops.geometry import (backproject_depth,
+                                                     project_3d)
+            from speech2lip_tpu.ops.pallas.hat_sample import hat_sample
+            cam = backproject_depth(depth, inv_k)
+
+            def grid_one(euler, trans, can_euler, can_trans):
+                rel = rel_pose_obs2can(can_euler[None], can_trans[None],
+                                       euler[None], trans[None])[0]
+                grid, _ = project_3d(cam, k, rel, st.face_h, st.face_w)
+                return grid
+
+            grids = jax.vmap(grid_one)(
+                batch["euler"], batch["trans"],
+                batch["canonical_euler"], batch["canonical_trans"])
+            bsz = grids.shape[0]
+            pred_canonical = hat_sample(
+                batch["rgb_face_ori"], grids.reshape(bsz, -1, 2),
+                border=True).reshape(bsz, st.face_h, st.face_w, -1)
+            loss_mask = (batch["mask_head_canonical"]
+                         * (1.0 - batch["mask_face_canonical"]))
+            ld = losses.photometric_loss(pred_canonical,
+                                         batch["rgb_face_zero"],
+                                         mask=loss_mask)
         else:
             def warp_one(face_gt, euler, trans, can_euler, can_trans):
                 rel = rel_pose_obs2can(can_euler[None], can_trans[None],

@@ -70,7 +70,27 @@ def build_statics(cfg: Dict[str, Any], ds: LipDataset,
         add_noise_uv=bool(tr.get("add_noise_uv", False)),
         add_noise_audio=bool(tr.get("add_noise_audio", False)),
         compute_dtype=str(tr.get("compute_dtype", "float32")),
+        pallas_gather=_resolve_pallas_gather(tr),
     )
+
+
+def _resolve_pallas_gather(tr) -> bool:
+    """training.pallas_gather: true | false | 'auto' (default).  Auto
+    enables the hat-sample gather path on a real accelerator in bf16
+    mixed precision at per-host batch >= 4 — its weights quantize at
+    2^-9 (the bf16 activation quantum) so the f32 parity path stays on
+    XLA gathers, and at small batches the XLA gathers are cheaper than
+    the dense hat contractions (measured v5e, May geometry: 26.1 vs 32.0
+    ms/frame at batch 8, but 56.2 vs 45.7 at batch 1 —
+    tools/bench_train.py --ablate)."""
+    import jax
+    pg = tr.get("pallas_gather", "auto")
+    if isinstance(pg, str):
+        assert pg == "auto", pg
+        return (jax.default_backend() not in ("cpu",)
+                and str(tr.get("compute_dtype", "float32")) == "bfloat16"
+                and int(tr.get("batch_size", 1)) >= 4)
+    return bool(pg)
 
 
 def _depth_loss_box(ds: LipDataset, max_pixels: int = 16384):

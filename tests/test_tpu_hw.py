@@ -303,6 +303,121 @@ def test_unet_hcw_matches_xla_on_tpu():
     assert err < 5e-4, err
 
 
+def test_hat_sample_grads_match_xla_on_tpu():
+    """Differentiable hat_sample (train-path gather replacement): value,
+    d/dsource and d/dgrid must match the XLA grid_sample for samples
+    whose bilinear footprint is in range, in both padding modes."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+    from speech2lip_tpu.ops.grid_sample import grid_sample
+    from speech2lip_tpu.ops.pallas.hat_sample import hat_sample
+
+    rng = np.random.default_rng(0)
+    B, H, W, P = 2, 120, 136, 2048
+    src = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    # footprints strictly inside the frame (2 px margin)
+    gx = rng.uniform(2.5 / W * 2 - 1, (W - 3.5) / W * 2 - 1, (B, P))
+    gy = rng.uniform(2.5 / H * 2 - 1, (H - 3.5) / H * 2 - 1, (B, P))
+    grid = jnp.asarray(np.stack([gx, gy], -1).astype(np.float32))
+
+    for border, pad_mode in [(False, "zeros"), (True, "border")]:
+        def loss_p(s, g):
+            out = hat_sample(s, g, border=border)
+            return jnp.sum(jnp.sin(out * 3.0))
+
+        def loss_x(s, g):
+            out = grid_sample(s, g.reshape(B, P, 1, 2),
+                              padding_mode=pad_mode).reshape(B, P, 3)
+            return jnp.sum(jnp.sin(out * 3.0))
+
+        vp, (dsp, dgp) = jax.jit(jax.value_and_grad(loss_p, (0, 1)))(src,
+                                                                     grid)
+        vx, (dsx, dgx) = jax.jit(jax.value_and_grad(loss_x, (0, 1)))(src,
+                                                                     grid)
+        assert abs(float(vp - vx)) < 1e-4 * abs(float(vx)) + 1e-3, (
+            border, float(vp), float(vx))
+        es = float(jnp.max(jnp.abs(dsp - dsx)))
+        eg = float(jnp.max(jnp.abs(dgp - dgx)))
+        assert es < 1e-4, (border, es)
+        assert eg < 5e-3, (border, eg)
+
+    # out-of-range samples, value only: zeros -> 0, border -> edge clamp
+    far = jnp.asarray(np.stack([gx * 0 + 1.8, gy], -1).astype(np.float32))
+    outz = hat_sample(src, far, border=False)
+    assert float(jnp.max(jnp.abs(outz))) == 0.0
+    outb = hat_sample(src, far, border=True)
+    refb = grid_sample(src, far.reshape(B, P, 1, 2),
+                       padding_mode="border").reshape(B, P, 3)
+    assert float(jnp.max(jnp.abs(outb - refb))) < 1e-4
+
+
+def test_train_step_pallas_gather_matches_xla_on_tpu():
+    """Full train step with pallas_gather=True (hat_sample for the
+    blackaug window gather and the depth-loss warp) must produce the same
+    losses and gradients as the XLA-gather step in f32."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+    from speech2lip_tpu.core.config import default_config
+    from speech2lip_tpu.data.synthetic import synthetic_batch
+    from speech2lip_tpu.data.windows import compute_warp_window
+    from speech2lip_tpu.models import lpips as lpips_mod
+    from speech2lip_tpu.models import talking_face as tfm
+    from speech2lip_tpu.models import unet_light
+    from speech2lip_tpu.ops.grid_sample import grid_sample_np
+    from speech2lip_tpu.train.train_step import (StepStatics, TrainState,
+                                                 make_optimizer,
+                                                 make_train_step)
+
+    face, lip_h, lip_w = 64, 16, 24
+    cfg = default_config()
+    cfg["model"]["canonical_depth_height"] = face
+    cfg["model"]["canonical_depth_width"] = face
+    raw, geo = synthetic_batch(2, face=face, lip_h=lip_h, lip_w=lip_w)
+    box = tfm.expanded_lip_box(lip_h, lip_w, geo["lip_x"], geo["lip_y"])
+    window = compute_warp_window([raw["coord"][i] for i in range(2)],
+                                 box, face, face, margin=4)
+    fz, coord = raw["rgb_face_zero"], raw["coord"]
+    raw = dict(raw,
+               warped_base=grid_sample_np(fz, coord),
+               blackaug_face_mask=(grid_sample_np(
+                   (fz > 0).astype(fz.dtype), coord) == 1.0
+               ).astype(fz.dtype))
+    batch = jax.tree.map(jnp.asarray, raw)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = tfm.init(keys[0], cfg)
+    unet_p, unet_s = unet_light.init(keys[1])
+    frozen = {"lpips": lpips_mod.init(keys[2])}
+    opt = make_optimizer(cfg)
+    state0 = TrainState(params, unet_p, unet_s,
+                        opt.init({"model": params, "unet": unet_p}),
+                        jnp.int32(0))
+
+    outs = {}
+    for pg in (False, True):
+        st = StepStatics(
+            lip_h=lip_h, lip_w=lip_w, lip_x=geo["lip_x"],
+            lip_y=geo["lip_y"], face_h=face, face_w=face, focal=120.0,
+            face_bbox=(8, 8, 56, 56), window=window,
+            compute_dtype="float32", pallas_gather=pg)
+        step = make_train_step(opt, st, frozen, donate=False)
+        s, m = step(state0, batch, jax.random.PRNGKey(7))
+        outs[pg] = (s, {k: float(v) for k, v in m.items()})
+
+    m0, m1 = outs[False][1], outs[True][1]
+    for k in m0:
+        assert abs(m0[k] - m1[k]) < 1e-3 + 1e-3 * abs(m0[k]), (k, m0[k],
+                                                               m1[k])
+    # updated parameters agree (gradients flowed identically)
+    p0 = jax.tree.leaves(outs[False][0].params)
+    p1 = jax.tree.leaves(outs[True][0].params)
+    for a, b in zip(p0, p1):
+        d = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                  - b.astype(jnp.float32))))
+        assert d < 5e-3, d
+
+
 if __name__ == "__main__":
     test_fused_mlp_batched_compiles_on_tpu()
     test_fused_mlp_single_compiles_on_tpu()

@@ -161,6 +161,7 @@ def ablate():
         ("full", {}),
         ("full+hostwarp", {}),    # blackaug statics precomputed on host
         ("full+hw+dcrop", {"depth_loss_box": "auto"}),  # + depth-loss crop
+        ("full+hw+pallas", {"pallas_gather": True}),  # hat_sample gathers
         ("no-blackaug", {"use_blackaug": False}),
         ("no-depthloss", {"use_canonical_depth_loss": False}),
         ("no-perceptual", {"use_perceptual": False}),
