@@ -278,16 +278,18 @@ def expanded_lip_box(lip_h: int, lip_w: int, lip_x: int, lip_y: int,
 
 
 def _sample_box_region(merged_canonical, grid_w, box, h: int, w: int,
-                       use_pallas: bool = False):
+                       use_pallas: bool = False,
+                       pallas_gather: bool = False):
     """Sample the warped image over the window.
 
     Only values whose bilinear footprint touches the expanded lip box are
     consumed (the blend multiplies by the box-coverage mask), so when the
     box + 1px halo is interior to the image, sampling runs through the
     MXU one-hot contraction over the small crop — fully fused in VMEM via
-    the Pallas kernel (ops/pallas/window_sample, inference), or as XLA
-    einsums (ops/grid_sample.grid_sample_onehot, differentiable) — instead
-    of a per-element gather."""
+    the Pallas kernel (ops/pallas/window_sample, inference-only;
+    ops/pallas/hat_sample when gradients are needed), or as XLA einsums
+    (ops/grid_sample.grid_sample_onehot, differentiable) — instead of a
+    per-element gather."""
     b = merged_canonical.shape[0]
     x0b, x1b, y0b, y1b = box
     if x0b - 1 >= 0 and y0b - 1 >= 0 and x1b + 1 <= w and y1b + 1 <= h:
@@ -299,6 +301,9 @@ def _sample_box_region(merged_canonical, grid_w, box, h: int, w: int,
         if use_pallas:
             from speech2lip_tpu.ops.pallas.window_sample import window_sample
             out = window_sample(src, flat, y0b - 1, x0b - 1, h, w)
+        elif pallas_gather:
+            from speech2lip_tpu.ops.pallas.hat_sample import hat_sample
+            out = hat_sample(src, flat, y0b - 1, x0b - 1, h, w)
         else:
             out = grid_sample_onehot(src, flat, y0b - 1, x0b - 1, h, w)
         return out.reshape(bb, wh, ww, -1)
@@ -362,7 +367,8 @@ def post_fusion_composite(rgb_lip, face_canonical, rgb_gt, mask_lip,
         grid_w = jax.lax.slice(coord, (0, wy0, wx0, 0),
                                (b, wy0 + wh, wx0 + ww, 2))
         rgb_merged_w = _sample_box_region(merged_canonical, grid_w, box, h, w,
-                                          use_pallas=use_pallas)
+                                          use_pallas=use_pallas,
+                                          pallas_gather=pallas_gather)
         mask_w = warp_box_mask(grid_w, box, h, w).astype(rgb_merged_w.dtype)
         gt_w = jax.lax.slice(rgb_gt, (0, wy0, wx0, 0),
                              (b, wy0 + wh, wx0 + ww, 3))

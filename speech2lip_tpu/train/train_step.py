@@ -329,7 +329,8 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
                 lip_k, batch["rgb_face_zero"], batch["rgb_face_ori"],
                 batch["mask_lip_canonical"],
                 batch["coord_window"][:, fidx], st.lip_x, st.lip_y,
-                expand_divisor=st.expand_divisor, window=st.window)
+                expand_divisor=st.expand_divisor, window=st.window,
+                pallas_gather=st.pallas_gather)
             fused, _ = unet_light.apply(unet_params, unet_state, unet_in,
                                         train=False)
             x0, y0, x1, y1 = st.face_bbox

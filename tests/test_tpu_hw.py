@@ -370,11 +370,14 @@ def test_train_step_pallas_gather_matches_xla_on_tpu():
                                                  make_optimizer,
                                                  make_train_step)
 
+    from speech2lip_tpu.models import syncnet as syncnet_mod
+
     face, lip_h, lip_w = 64, 16, 24
     cfg = default_config()
     cfg["model"]["canonical_depth_height"] = face
     cfg["model"]["canonical_depth_width"] = face
-    raw, geo = synthetic_batch(2, face=face, lip_h=lip_h, lip_w=lip_w)
+    raw, geo = synthetic_batch(2, face=face, lip_h=lip_h, lip_w=lip_w,
+                               with_sync=True)
     box = tfm.expanded_lip_box(lip_h, lip_w, geo["lip_x"], geo["lip_y"])
     window = compute_warp_window([raw["coord"][i] for i in range(2)],
                                  box, face, face, margin=4)
@@ -385,10 +388,11 @@ def test_train_step_pallas_gather_matches_xla_on_tpu():
                    (fz > 0).astype(fz.dtype), coord) == 1.0
                ).astype(fz.dtype))
     batch = jax.tree.map(jnp.asarray, raw)
-    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
     params = tfm.init(keys[0], cfg)
     unet_p, unet_s = unet_light.init(keys[1])
-    frozen = {"lpips": lpips_mod.init(keys[2])}
+    frozen = {"lpips": lpips_mod.init(keys[2]),
+              "syncnet": syncnet_mod.init(keys[3])}
     opt = make_optimizer(cfg)
     state0 = TrainState(params, unet_p, unet_s,
                         opt.init({"model": params, "unet": unet_p}),
@@ -399,7 +403,7 @@ def test_train_step_pallas_gather_matches_xla_on_tpu():
         st = StepStatics(
             lip_h=lip_h, lip_w=lip_w, lip_x=geo["lip_x"],
             lip_y=geo["lip_y"], face_h=face, face_w=face, focal=120.0,
-            face_bbox=(8, 8, 56, 56), window=window,
+            face_bbox=(8, 8, 56, 56), window=window, sync_on=True,
             compute_dtype="float32", pallas_gather=pg)
         step = make_train_step(opt, st, frozen, donate=False)
         s, m = step(state0, batch, jax.random.PRNGKey(7))
