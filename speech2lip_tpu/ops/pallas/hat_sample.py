@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from speech2lip_tpu.ops.pallas.window_sample import window_sample
+from speech2lip_tpu.ops.pallas.window_sample import INTERPRET, window_sample
 
 _TILE = 1024
 
@@ -163,6 +163,7 @@ def _dsrc(ixy, g, hs, ws, c, dtype, tile=_TILE):
             bytes_accessed=(ixy_p.size + g_p.size
                             + b * c * hs_pad * ws_pad) * 4,
             transcendentals=0),
+        interpret=INTERPRET,
     )(ixy_p, g_p)
     return jnp.transpose(out[:, :, :hs, :ws], (0, 2, 3, 1)).astype(dtype)
 
@@ -212,6 +213,7 @@ def _dgrid(ixy, src, g, tile=0):
             bytes_accessed=(ixy_p.size + g_p.size + b * p_pad * 2) * 4
             + src_t.size * src_t.dtype.itemsize,
             transcendentals=0),
+        interpret=INTERPRET,
     )(ixy_p, src_t, csel, g_p)
     return out[:, :p]
 

@@ -25,6 +25,7 @@ Inference-only — the training step keeps the differentiable XLA path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 1024
+
+# CPU testing escape hatch: PALLAS_INTERPRET=1 runs the sampling kernels
+# (this module and hat_sample — pure dots/iota, no Mosaic-only ops)
+# through the Pallas interpreter so the pytest suite covers them without
+# TPU hardware.
+INTERPRET = os.environ.get("PALLAS_INTERPRET", "") == "1"
 
 
 def _kernel_bf16(ixy_ref, src_ref, csel_ref, out_ref, *, channels):
@@ -170,6 +177,7 @@ def window_sample(src: jnp.ndarray, grid: jnp.ndarray, y_off: int,
             out_specs=ospec,
             out_shape=jax.ShapeDtypeStruct((b, p_pad, c), src.dtype),
             cost_estimate=cost,
+            interpret=INTERPRET,
         )(ixy, src_t, csel)
         return out[:, :p]
 
@@ -189,5 +197,6 @@ def window_sample(src: jnp.ndarray, grid: jnp.ndarray, y_off: int,
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((b, p_pad, c), src.dtype),
         cost_estimate=cost,
+        interpret=INTERPRET,
     )(ixy, src_t)
     return out[:, :p]

@@ -51,6 +51,8 @@ def build_cfg(root: str, geo, out_dir: str, args):
         "learning_rate": args.lr,
     })
     cfg["training"]["batch_rays"] = 0  # whole-frame steps
+    if args.dtype:
+        cfg["training"]["compute_dtype"] = args.dtype
     return cfg
 
 
@@ -68,6 +70,10 @@ def main():
     ap.add_argument("--validate-every", type=int, default=100)
     ap.add_argument("--psnr-bar", type=float, default=None,
                     help="fail (exit 1) if final val PSNR below this")
+    ap.add_argument("--dtype", default=None,
+                    help="training.compute_dtype override (e.g. bfloat16 "
+                         "— with batch >= 4 on TPU this also turns on the "
+                         "hat-sample gather path via pallas_gather: auto)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--json", default=None, help="write report here")
     args = ap.parse_args()
@@ -133,6 +139,7 @@ def main():
         "geometry": geo,
         "iters": args.iters,
         "batch": args.batch,
+        "compute_dtype": args.dtype or "float32",
         "train_seconds": round(train_s, 1),
         "val_psnr_trajectory": traj,
         "best_checkpoint_selected": best_selected,
