@@ -423,13 +423,8 @@ def test_train_step_pallas_gather_matches_xla_on_tpu():
 
 
 if __name__ == "__main__":
-    test_fused_mlp_batched_compiles_on_tpu()
-    test_fused_mlp_single_compiles_on_tpu()
-    test_window_sample_compiles_on_tpu()
-    test_conv_hcw_matches_xla_on_tpu()
-    test_double_conv_hcw_matches_xla_on_tpu()
-    test_fused_block_pool_and_upsample_on_tpu()
-    test_unet_fused_matches_xla_on_tpu()
-    test_renderer_pallas_path_matches_xla_on_tpu()
-    test_unet_hcw_matches_xla_on_tpu()
-    print("TPU hardware smoke tests passed")
+    _fns = sorted(n for n in dir() if n.startswith("test_"))
+    for _n in _fns:
+        globals()[_n]()
+        print("PASS", _n)
+    print(f"TPU hardware smoke tests passed ({len(_fns)})")
