@@ -255,21 +255,30 @@ def apply_infer_fused(params, state, x):
     xh = halo2_pad(xh, 16)
 
     # row tiles: a pooled buffer's padded height is parent_hp/2, so each
-    # consumer picks the largest tile dividing it (hp1 is a multiple of
-    # 16, so hp2 %% 8 == 0 and hp3 %% 4 == 0 always hold)
-    hp1 = -(-h // 16) * 16
-    rt2 = 16 if (hp1 // 2) % 16 == 0 else 8
-    hp3 = hp1 // 4
-    rt3 = 16 if hp3 % 16 == 0 else (8 if hp3 % 8 == 0 else 4)
+    # consumer picks the largest tile dividing it up to a per-block cap
+    # (v5e sweep at May 500², tools sweep under the raised VMEM limit:
+    # rt 32 beats 8/16 on inc/down1/up1/up2 — up2 19.7 -> 16.9
+    # ms/batch-32 — while down2 prefers 16 and rt 64 regresses)
+    def pick(hp, cap, mult):
+        rt = mult
+        for cand in range(mult, cap + 1, mult):
+            if hp % cand == 0:
+                rt = cand
+        return rt
 
-    x1, x1p = blk("inc", [("direct", xh)], h, w, 16, pool=True,
-                  cpad=16 - cin)
+    hp1 = -(-h // 16) * 16
+    hp2, hp3 = hp1 // 2, hp1 // 4
+
+    x1, x1p = blk("inc", [("direct", xh)], h, w, pick(hp1, 32, 4),
+                  pool=True, cpad=16 - cin)
     h2, w2 = h // 2, w // 2
-    x2, x2p = blk("down1", [("direct", x1p)], h2, w2, rt2, pool=True)
+    x2, x2p = blk("down1", [("direct", x1p)], h2, w2, pick(hp2, 32, 4),
+                  pool=True)
     h3, w3 = h2 // 2, w2 // 2
-    x3 = blk("down2", [("direct", x2p)], h3, w3, rt3)
-    u = blk("up1", [("direct", x2), ("up2x", x3)], h2, w2, 8)
-    u = blk("up2", [("direct", x1), ("up2x", u)], h, w, 8)
+    x3 = blk("down2", [("direct", x2p)], h3, w3, pick(hp3, 16, 4))
+    u = blk("up1", [("direct", x2), ("up2x", x3)], h2, w2,
+            pick(hp2, 32, 8))
+    u = blk("up2", [("direct", x1), ("up2x", u)], h, w, pick(hp1, 32, 8))
 
     d = u[:, 2:2 + h, :, :w]
     wo = params["outc"]["w"][0, 0]

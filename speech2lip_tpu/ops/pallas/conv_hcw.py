@@ -56,6 +56,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# v5e physically carries far more VMEM than the 16 MB default scoped
+# limit (96 MB scratch allocations compile and run); raising the limit
+# lets the fused blocks use taller row tiles and larger shapes
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
 
 def halo_pad(x, row_tile: int = 16):
     """[B, H, C, W] -> haloed [B, Hp+2, C, Wp] with the zero-row/zero-lane
@@ -259,6 +264,7 @@ def conv3x3_hcw(xh, w, scale, bias, h: int, w_valid: int,
             * xh.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=_VMEM_LIMIT,
     )(xh, xh, lhs, sb)
     return out
 
@@ -456,6 +462,7 @@ def double_conv_hcw(xh, w1, scale1, bias1, w2, scale2, bias2, h: int,
             * xh.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=_VMEM_LIMIT,
     )(xh, xh, lhs1, lhs2, sb)
     return out
 
@@ -843,6 +850,7 @@ def _fused_block_impl(arrays, w1, scale1, bias1, w2, scale2, bias2,
             + bsz * (hp + 4) * cout * wp * 2,
             transcendentals=0,
         ),
+        compiler_params=_VMEM_LIMIT,
     )(*ops)
     return res
 
