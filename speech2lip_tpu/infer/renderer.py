@@ -99,18 +99,19 @@ def render_face_batch(params, unet_params, unet_state, batch: Dict[str, Any],
     unet_in = unet_in.astype(compute_dtype)
     if use_pallas and compute_dtype == jnp.bfloat16 \
             and unet_in.shape[1] % 4 == 0 and unet_in.shape[2] % 4 == 0 \
-            and unet_in.shape[1] <= 500 and unet_in.shape[2] <= 500:
+            and unet_in.shape[1] <= 1024 and unet_in.shape[2] <= 1024:
         # fully-fused Pallas U-Net (pool/upsample/concat folded into the
         # DoubleConv kernels): ~1.4x the XLA graph at May geometry.
-        # bf16-only: fp32 activations double the kernels' VMEM scratches
-        # past the 16 MB budget at 500² (measured OOM on the up blocks).
+        # bf16-only: the fused kernels' f32 dots run at HIGHEST precision
+        # (6-pass) for parity, which loses to XLA's f32 convs — fp32
+        # serving keeps the XLA graph.
         # %4 geometry: both pool levels and the exact-2x upsamples need
         # even sizes at every stage (odd halves would corrupt the
         # pooled-lane halo and the closed-form row lerp).
-        # <=500px: the up blocks' scoped VMEM overflows past May's 500²
-        # (measured 17.73M > 16M at 512²; row_tile must stay %8) — bigger
-        # faces take the XLA graph, and the static-scene serving path
-        # still runs its (smaller) window crop through the fused kernels
+        # <=1024px: bound of the kernels' raised 100 MB VMEM budget
+        # (conv_hcw._VMEM_LIMIT; the old 16 MB default capped this path
+        # at 500px) — measured vs XLA bf16 at batch 8-16: 512² 36.8 vs
+        # 39.7 ms, 768² 39.6 vs 45.9, 1024² 68.2 vs 79.8, max|diff| 8e-4
         face = unet_light.apply_infer_fused(unet_params, unet_state,
                                             unet_in)
     else:
