@@ -43,7 +43,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from speech2lip_tpu.ops.pallas.window_sample import INTERPRET, window_sample
+from speech2lip_tpu.ops.pallas.window_sample import (INTERPRET,
+                                                     _VMEM_LIMIT,
+                                                     window_sample)
 
 _TILE = 1024
 
@@ -163,6 +165,7 @@ def _dsrc(ixy, g, hs, ws, c, dtype, tile=_TILE):
             bytes_accessed=(ixy_p.size + g_p.size
                             + b * c * hs_pad * ws_pad) * 4,
             transcendentals=0),
+        compiler_params=_VMEM_LIMIT,
         interpret=INTERPRET,
     )(ixy_p, g_p)
     return jnp.transpose(out[:, :, :hs, :ws], (0, 2, 3, 1)).astype(dtype)
@@ -174,12 +177,12 @@ def _dgrid(ixy, src, g, tile=0):
     if not tile:
         # two forward-shaped blends live at once: weight/derivative maps
         # (4 f32 [T, Ws/Hs]) + per-blend [T, C*Hs] f32 tmp + bf16 copies;
-        # pick the largest tile that fits a ~10 MB VMEM budget (measured
-        # OOM at tile 1024 for full-frame 500² sources)
+        # pick the largest tile inside the raised VMEM budget (the 16 MB
+        # default OOMed tile 1024 at full-frame 500² sources)
         per_point = 8 * (ws + hs) + 10 * c * -(-hs // 8) * 8
         tile = 256
-        for cand in (512, 1024):
-            if cand * per_point <= 10 * 2**20:
+        for cand in (512, 1024, 2048):
+            if cand * per_point <= 40 * 2**20:
                 tile = cand
     hs_pad, ws_pad, p_pad = _pads(hs, ws, p, tile)
     ixy_p = jnp.pad(ixy, ((0, 0), (0, p_pad - p), (0, 0)),
@@ -213,6 +216,7 @@ def _dgrid(ixy, src, g, tile=0):
             bytes_accessed=(ixy_p.size + g_p.size + b * p_pad * 2) * 4
             + src_t.size * src_t.dtype.itemsize,
             transcendentals=0),
+        compiler_params=_VMEM_LIMIT,
         interpret=INTERPRET,
     )(ixy_p, src_t, csel, g_p)
     return out[:, :p]

@@ -40,6 +40,10 @@ DEFAULT_TILE = 1024
 # TPU hardware.
 INTERPRET = os.environ.get("PALLAS_INTERPRET", "") == "1"
 
+# v5e carries far more physical VMEM than the 16 MB default scoped limit
+# (see conv_hcw._VMEM_LIMIT); the raised budget lets the point tiles grow
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
 
 def _kernel_bf16(ixy_ref, src_ref, csel_ref, out_ref, *, channels):
     """bf16 path: both bilinear weights built as hat functions
@@ -130,8 +134,8 @@ def window_sample(src: jnp.ndarray, grid: jnp.ndarray, y_off: int,
     if not tile:
         per_point = 4 * (ws_pad + hs_pad) + 8 * c * hs_pad
         tile = DEFAULT_TILE
-        for cand in (2048, 4096):
-            if cand * per_point <= 12 * 2**20:
+        for cand in (2048, 4096, 8192, 16384):
+            if cand * per_point <= 40 * 2**20:
                 tile = cand
     p_pad = -(-p // tile) * tile
     grid_p = jnp.pad(grid.astype(jnp.float32),
@@ -177,6 +181,7 @@ def window_sample(src: jnp.ndarray, grid: jnp.ndarray, y_off: int,
             out_specs=ospec,
             out_shape=jax.ShapeDtypeStruct((b, p_pad, c), src.dtype),
             cost_estimate=cost,
+            compiler_params=_VMEM_LIMIT,
             interpret=INTERPRET,
         )(ixy, src_t, csel)
         return out[:, :p]
@@ -197,6 +202,7 @@ def window_sample(src: jnp.ndarray, grid: jnp.ndarray, y_off: int,
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((b, p_pad, c), src.dtype),
         cost_estimate=cost,
+        compiler_params=_VMEM_LIMIT,
         interpret=INTERPRET,
     )(ixy, src_t)
     return out[:, :p]
