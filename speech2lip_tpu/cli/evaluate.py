@@ -19,6 +19,8 @@ import os
 
 
 def main():
+    from speech2lip_tpu.core.platform import apply_env_platform
+    apply_env_platform()  # JAX_PLATFORMS honored despite sitecustomize
     p = argparse.ArgumentParser(description="Score rendered frames.")
     p.add_argument("--pred", required=True, help="rendered frames dir")
     p.add_argument("--gt", required=True, help="ground-truth frames dir")

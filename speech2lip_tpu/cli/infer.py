@@ -17,6 +17,8 @@ import os
 
 
 def main():
+    from speech2lip_tpu.core.platform import apply_env_platform
+    apply_env_platform()  # JAX_PLATFORMS honored despite sitecustomize
     parser = argparse.ArgumentParser(description="Render lip-synced frames.")
     parser.add_argument("config", type=str)
     parser.add_argument("--output_dir", type=str, default="test")

@@ -41,6 +41,8 @@ def _read_frames(frames_dir):
 
 
 def main():
+    from speech2lip_tpu.core.platform import apply_env_platform
+    apply_env_platform()  # JAX_PLATFORMS honored despite sitecustomize
     p = argparse.ArgumentParser(description="Speech2Lip preprocessing")
     p.add_argument("step", choices=["extract", "crop_face", "landmarks",
                                     "track", "warp", "uv_mapping", "masks",

@@ -79,6 +79,8 @@ def _audio_windows(path, cfg, ds_params):
 
 
 def main():
+    from speech2lip_tpu.core.platform import apply_env_platform
+    apply_env_platform()  # JAX_PLATFORMS honored despite sitecustomize
     ap = argparse.ArgumentParser(description="Serve trained identities.")
     ap.add_argument("configs", nargs="+")
     ap.add_argument("--queue", required=True)

@@ -14,6 +14,8 @@ import argparse
 
 
 def main():
+    from speech2lip_tpu.core.platform import apply_env_platform
+    apply_env_platform()  # JAX_PLATFORMS honored despite sitecustomize
     parser = argparse.ArgumentParser(description="Train a Speech2Lip model.")
     parser.add_argument("config", type=str, help="Path to config file.")
     parser.add_argument("--exit-after", type=int, default=-1,

@@ -365,3 +365,24 @@ def test_tensorboard_event_file_roundtrip(tmp_path):
     assert abs(scalars[1]["loss"] - 0.5) < 1e-6
     assert abs(scalars[1]["psnr"] - 22.0) < 1e-6
     assert abs(scalars[2]["loss"] - 0.25) < 1e-6
+
+
+def test_apply_env_platform_honors_cpu_request():
+    """The JAX_PLATFORMS env contract must survive sitecustomize hooks that
+    re-pin the backend during interpreter startup (core/platform.py; every
+    CLI main applies it first).  Run in a subprocess so this test is
+    independent of the suite's own backend forcing."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("_SPEECH2LIP_PLATFORM_APPLIED", None)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from speech2lip_tpu.core.platform import apply_env_platform;"
+         "apply_env_platform();"
+         "import jax; print(jax.default_backend())"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-500:]
+    assert out.stdout.strip().splitlines()[-1] == "cpu"
