@@ -221,7 +221,7 @@ def apply_infer_hcw(params, state, x, row_tile: int = 16):
     return jnp.transpose(y, (0, 1, 3, 2)) + params["outc"]["b"]
 
 
-def apply_infer_fused(params, state, x):
+def apply_infer_fused(params, state, x, hcw_input: bool = False):
     """Inference forward as five fully-fused Pallas blocks
     (ops/pallas/conv_hcw.fused_block_hcw): every DoubleConv runs with its
     2×2 maxpool (down path) or its 2× upsample + skip concat (up path)
@@ -232,12 +232,23 @@ def apply_infer_fused(params, state, x):
     x: [B, H, W, C] NHWC -> [B, H, W, n_classes].  H and W must be
     multiples of 4 (both pool levels and the exact-2x upsamples need even
     sizes at every stage).
+
+    ``hcw_input=True`` takes ``x`` already in the kernels' [B, H, 16, W]
+    layout (transposed + channel-padded to 16), i.e. what a host-side HCW
+    data layout would deliver — exists so tools/bench_hcw_ingest.py can
+    measure the ingest transpose's true end-to-end cost rather than an
+    isolated (layout-assignment no-op) transpose.
     """
     from speech2lip_tpu.ops.pallas.conv_hcw import (fused_block_hcw,
                                                     halo2_pad)
     from speech2lip_tpu.ops.pallas.conv_block import fold_bn
 
-    b, h, w, cin = x.shape
+    if hcw_input:
+        b, h, cin, w = x.shape
+        assert cin == 16, x.shape
+        cin = 3  # the pad carries zeros; conv1 weights are padded to match
+    else:
+        b, h, w, cin = x.shape
     assert h % 4 == 0 and w % 4 == 0, (h, w)
 
     def blk(name, sources, hh, ww, rt, pool=False, cpad=0):
@@ -250,8 +261,11 @@ def apply_infer_fused(params, state, x):
         return fused_block_hcw(sources, w1, s1, b1, p["conv2"]["w"], s2,
                                b2, hh, ww, row_tile=rt, pool_out=pool)
 
-    xh = jnp.transpose(x, (0, 1, 3, 2))
-    xh = jnp.pad(xh, ((0, 0), (0, 0), (0, 16 - cin), (0, 0)))
+    if hcw_input:
+        xh = x
+    else:
+        xh = jnp.transpose(x, (0, 1, 3, 2))
+        xh = jnp.pad(xh, ((0, 0), (0, 0), (0, 16 - cin), (0, 0)))
     xh = halo2_pad(xh, 16)
 
     # row tiles: a pooled buffer's padded height is parent_hp/2, so each

@@ -360,6 +360,19 @@ def fit(cfg: Dict[str, Any], max_iters: Optional[int] = None,
     t0b = time.time()
     batch_size = int(tr["batch_size"]) * mesh.devices.shape[0]
     n_proc, proc_id = jax.process_count(), jax.process_index()
+    # Clear downgrade instead of a dead loop when the device count inflates
+    # the global batch past this host's train slice (e.g. a tiny clip under
+    # a forced 8-device virtual mesh): clamp to the largest device-divisible
+    # batch that still fits, keeping sharding valid.
+    host_frames = len(range(proc_id, len(ds), n_proc))
+    n_dev = mesh.devices.shape[0]
+    if batch_size > host_frames >= n_dev:
+        clamped = (host_frames // n_dev) * n_dev
+        logger.warning(
+            "global batch %d (per-device %d x %d devices) exceeds this "
+            "host's %d-frame train slice; clamping to %d",
+            batch_size, int(tr["batch_size"]), n_dev, host_frames, clamped)
+        batch_size = clamped
 
     while True:
         epoch_it += 1

@@ -377,7 +377,6 @@ def test_apply_env_platform_honors_cpu_request():
     import sys
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env.pop("_SPEECH2LIP_PLATFORM_APPLIED", None)
     out = subprocess.run(
         [sys.executable, "-c",
          "from speech2lip_tpu.core.platform import apply_env_platform;"
@@ -386,3 +385,38 @@ def test_apply_env_platform_honors_cpu_request():
         env=env, capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-500:]
     assert out.stdout.strip().splitlines()[-1] == "cpu"
+
+
+def test_pallas_gather_auto_gate(monkeypatch):
+    """training.pallas_gather 'auto' must match the measured crossover
+    (TODO.md: batch-8 bf16 hat-sample 26.1 vs XLA 32.0 ms/frame, but
+    batch-1 56.2 vs 45.7): ON only at accelerator + bfloat16 + batch >= 4;
+    OFF on CPU, in f32, and below the batch crossover.  Pins the policy so
+    a config refactor can't silently flip the regression back in."""
+    from speech2lip_tpu.train.trainer import _resolve_pallas_gather
+
+    def resolve(backend, **tr):
+        monkeypatch.setattr(jax, "default_backend", lambda: backend)
+        return _resolve_pallas_gather(tr)
+
+    # the winning configuration: TPU + bf16 + batch >= 4
+    assert resolve("tpu", pallas_gather="auto",
+                   compute_dtype="bfloat16", batch_size=4) is True
+    assert resolve("tpu", pallas_gather="auto",
+                   compute_dtype="bfloat16", batch_size=64) is True
+    # measured regression regimes stay OFF
+    for batch in (1, 2, 3):   # dense contractions lose below the crossover
+        assert resolve("tpu", pallas_gather="auto",
+                       compute_dtype="bfloat16", batch_size=batch) is False
+    assert resolve("tpu", pallas_gather="auto",
+                   compute_dtype="float32", batch_size=8) is False  # f32 parity path
+    assert resolve("cpu", pallas_gather="auto",
+                   compute_dtype="bfloat16", batch_size=8) is False
+    # defaults resolve through the same gate: dtype defaults f32, batch 1
+    assert resolve("tpu", pallas_gather="auto") is False
+    # explicit booleans bypass the heuristic entirely
+    assert resolve("cpu", pallas_gather=True, batch_size=1) is True
+    assert resolve("tpu", pallas_gather=False,
+                   compute_dtype="bfloat16", batch_size=8) is False
+    with pytest.raises(AssertionError):
+        resolve("tpu", pallas_gather="always")

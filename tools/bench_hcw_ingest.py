@@ -68,7 +68,20 @@ def main():
     t_unet = timeit(f_nhwc, x, n=10)
     print(f"apply_infer_fused from NHWC: {t_unet*1e3:.2f} ms/batch "
           f"({t_unet/b*1e3:.3f} ms/frame)")
-    print(f"-> transpose share: {t_full/t_unet*100:.1f}% of the U-Net")
+
+    # (c) end to end: the same forward fed pre-transposed + channel-padded
+    # HCW input (what a host-HCW data layout would deliver), so the delta
+    # is the ingest transpose's REAL in-graph cost, not an isolated
+    # layout-assignment no-op.
+    x_hcw = jnp.pad(jnp.transpose(x, (0, 1, 3, 2)),
+                    ((0, 0), (0, 0), (0, 16 - 3), (0, 0)))
+    f_hcw = jax.jit(lambda xx: unet_light.apply_infer_fused(
+        p, st, xx, hcw_input=True))
+    t_hcw = timeit(f_hcw, x_hcw, n=10)
+    print(f"apply_infer_fused from HCW:  {t_hcw*1e3:.2f} ms/batch "
+          f"({t_hcw/b*1e3:.3f} ms/frame)")
+    print(f"-> end-to-end ingest cost: {(t_unet - t_hcw)*1e3:+.2f} ms/batch "
+          f"= {(t_unet - t_hcw)/t_unet*100:+.1f}% of the U-Net")
 
 
 if __name__ == "__main__":

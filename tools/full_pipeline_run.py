@@ -194,10 +194,27 @@ def main():
     ap.add_argument("--dtype", default=None,
                     help="training.compute_dtype override (e.g. bfloat16)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="virtual host-platform device count for this run "
+                         "and every CLI it spawns (CPU backend only)")
     ap.add_argument("--json", default=None)
     ap.add_argument("--psnr-bar", type=float, default=None)
     args = ap.parse_args()
 
+    # Pin the virtual device count BEFORE any jax import, replacing whatever
+    # the parent exported: pytest's conftest sets
+    # XLA_FLAGS=--xla_force_host_platform_device_count=8, and inheriting it
+    # turns --batch 2 into a global batch of 16 against a 10-frame clip
+    # (trainer.py rejects that).  Subprocess envs are built from os.environ
+    # after this point, so every spawned CLI sees the same pinning.
+    import re
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   os.environ.get("XLA_FLAGS", "")).strip()
+    if args.devices > 1:
+        flags = (flags +
+                 f" --xla_force_host_platform_device_count={args.devices}"
+                 ).strip()
+    os.environ["XLA_FLAGS"] = flags
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
