@@ -152,7 +152,11 @@ def _sync_score(args):
         win = frames[i:i + 5][..., ::-1]  # feed as RGB; flip happens inside
         windows.append(np.asarray(sync_window_to_syncnet_input(
             jnp.asarray(win[None]))[0]))
-        mels.append(audio_dsp.crop_audio_window(mel, i + 2).T)
+        # rendered frame i is GLOBAL frame (offset + i) — e.g. a rendered
+        # val split starts at the train/val boundary, not at clip start —
+        # so its mel window must come from the same clip position or the
+        # confidence scores misaligned audio
+        mels.append(audio_dsp.crop_audio_window(mel, args.offset + i + 2).T)
     conf, offset = me.sync_confidence(sp, ss, np.stack(mels),
                                       np.stack(windows))
     return {"sync_conf": conf, "sync_offset": offset}

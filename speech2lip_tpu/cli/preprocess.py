@@ -155,7 +155,12 @@ def main():
             iters_idexp=max(1, int(2000 * ts)),
             iters_photo=max(1, int(71 * ts)),
             iters_window=max(1, int(50 * ts)))
-        tr = FaceTracker(assets, lms, cfg)
+        # all local devices on the 'data' axis: the photometric phases
+        # shard their frames across the mesh (no-op on one device)
+        import jax
+        from speech2lip_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
+        tr = FaceTracker(assets, lms, cfg, mesh=mesh)
         focal = args.focal or tr.find_focal()
         track = tr.fit(float(focal), images=frames)
         np.savez(os.path.join(root, "track_params.pt.npz"), **track)

@@ -169,6 +169,41 @@ def warp_grid_crop(depth: jnp.ndarray, rel_pose: jnp.ndarray,
     return grid.reshape(ch, cw, 2)
 
 
+def warp_grid_points(depth_pts: jnp.ndarray, xs: jnp.ndarray,
+                     ys: jnp.ndarray, rel_pose: jnp.ndarray,
+                     k: jnp.ndarray, inv_k: jnp.ndarray,
+                     height: int, width: int,
+                     eps: float = 1e-7) -> jnp.ndarray:
+    """``backproject_depth`` + ``project_3d`` restricted to S target
+    pixels (the canonical-depth loss only ever reads the warp at its
+    mask's support — a per-identity constant point set).
+
+    Per-point math is identical to the full-frame pair: every pixel is an
+    independent column through the same 3×3 contractions, so grid values
+    equal the full-frame path's at (ys, xs) exactly.
+
+    Args:
+      depth_pts: [S] target depth at the points; xs/ys: [S] pixel indices
+      (int or float); rel_pose/k/inv_k: [4, 4].
+    Returns:
+      grid [S, 2] in [-1, 1] normalized to (height, width).
+    """
+    dt = depth_pts.dtype
+    s = depth_pts.shape[0]
+    pix = jnp.stack([xs.astype(dt), ys.astype(dt), jnp.ones((s,), dt)],
+                    axis=0)                                   # [3, S]
+    cam = inv_k[:3, :3].astype(dt) @ pix
+    cam = depth_pts[None, :] * cam
+    points = jnp.concatenate([cam, jnp.ones((1, s), dt)], axis=0)
+    p = (k @ rel_pose)[:3, :].astype(dt)
+    cam2 = p @ points                                         # [3, S]
+    z = cam2[2]
+    pix2 = cam2[:2] / (z[None, :] + eps)
+    gx = pix2[0] / (width - 1)
+    gy = pix2[1] / (height - 1)
+    return jnp.stack([(gx - 0.5) * 2.0, (gy - 0.5) * 2.0], axis=-1)
+
+
 def inverse_warp(src_img: jnp.ndarray, tgt_depth: jnp.ndarray,
                  rel_pose: jnp.ndarray, k: jnp.ndarray, inv_k: jnp.ndarray):
     """Backward-warp ``src_img`` into the target view given target depth.

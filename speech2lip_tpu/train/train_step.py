@@ -271,6 +271,39 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
             ld = losses.photometric_loss(
                 pred_canonical, batch["rgb_face_zero"][:, y0:y1, x0:x1],
                 mask=loss_mask)
+        elif st.pallas_gather and "depth_pts" in frozen:
+            # points path: the loss mask head*(1-face) is a per-identity
+            # DATASET CONSTANT, and so is the target rgb_face_zero — so
+            # the warp, the sample, and the masked MSE only ever need the
+            # mask's support points (frozen['depth_pts'], built by the
+            # trainer).  Cuts the hat contraction cost by HW/S (~4-8× at
+            # May geometry) with the identical per-point math:
+            # warp_grid_points == backproject_depth∘project_3d at (ys,xs)
+            # and sum(err·w)/sum(w) over the support == the full-frame
+            # masked MSE (mask is zero elsewhere).
+            from speech2lip_tpu.ops.geometry import warp_grid_points
+            from speech2lip_tpu.ops.pallas.hat_sample import hat_sample
+            dp = frozen["depth_pts"]
+            xs_i, ys_i = dp["xs"], dp["ys"]                    # [S]
+            w = dp["w"]                                        # [S, C]
+            depth_pts = depth.reshape(-1)[ys_i * st.face_w + xs_i]
+
+            def grid_pts(euler, trans, can_euler, can_trans):
+                rel = rel_pose_obs2can(can_euler[None], can_trans[None],
+                                       euler[None], trans[None])[0]
+                return warp_grid_points(depth_pts, xs_i, ys_i, rel, k,
+                                        inv_k, st.face_h, st.face_w)
+
+            grids = jax.vmap(grid_pts)(
+                batch["euler"], batch["trans"],
+                batch["canonical_euler"], batch["canonical_trans"])
+            pred_pts = hat_sample(batch["rgb_face_ori"], grids,
+                                  border=True)                 # [B, S, C]
+            tgt = dp["rgb_zero_pts"].astype(pred_pts.dtype)
+            ld = losses.photometric_loss(
+                pred_pts, jnp.broadcast_to(tgt[None], pred_pts.shape),
+                mask=jnp.broadcast_to(w[None].astype(pred_pts.dtype),
+                                      pred_pts.shape))
         elif st.pallas_gather:
             from speech2lip_tpu.ops.geometry import (backproject_depth,
                                                      project_3d)

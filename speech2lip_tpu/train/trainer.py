@@ -122,6 +122,30 @@ def _depth_loss_box(ds: LipDataset, max_pixels: int = 16384):
     return box
 
 
+def _depth_loss_points(ds: LipDataset):
+    """frozen['depth_pts'] for the canonical-depth POINTS path
+    (train_step.compute_losses): the loss mask ``head * (1 - face)``, the
+    warp's target pixels, and the MSE target ``rgb_face_zero`` are all
+    per-identity dataset constants, so the loss only ever needs the mask's
+    S support points — the hat-sample contraction cost drops by HW/S vs
+    the full-frame gather (reference training.py:296-314 warps the whole
+    frame and multiplies most of it by zero)."""
+    if not (hasattr(ds, "mask_head_canonical")
+            and hasattr(ds, "mask_face_canonical")):
+        return None
+    m = np.asarray(ds.mask_head_canonical) * (
+        1.0 - np.asarray(ds.mask_face_canonical))       # [H, W, C]
+    tgt = np.asarray(ds.rgb_face_zero)                  # [H, W, 3]
+    m = np.broadcast_to(m, tgt.shape)
+    ys, xs = np.nonzero(m.max(axis=-1) > 0)
+    if ys.size == 0:
+        return None
+    return {"xs": jnp.asarray(xs, jnp.int32),
+            "ys": jnp.asarray(ys, jnp.int32),
+            "w": jnp.asarray(m[ys, xs], jnp.float32),
+            "rgb_zero_pts": jnp.asarray(tgt[ys, xs], jnp.float32)}
+
+
 _WINDOW_CACHE: Dict[Any, Any] = {}
 
 
@@ -346,9 +370,14 @@ def fit(cfg: Dict[str, Any], max_iters: Optional[int] = None,
     mesh = make_mesh(tuple(cfg["parallel"]["mesh_shape"])
                      if cfg["parallel"].get("mesh_shape") else None)
     state = replicate(state, mesh)
-    frozen_dev = replicate(frozen, mesh)
 
     statics = build_statics(cfg, ds, max(it, 0))
+    if (statics.pallas_gather and statics.use_canonical_depth_loss
+            and statics.depth_loss_box is None):
+        pts = _depth_loss_points(ds)
+        if pts is not None:
+            frozen["depth_pts"] = pts
+    frozen_dev = replicate(frozen, mesh)
     if n_chunks > 1:
         from speech2lip_tpu.train.train_step import make_chunked_train_step
         step_fn = make_chunked_train_step(opt, statics, n_chunks)

@@ -76,3 +76,63 @@ def test_hat_sample_interpret_value_and_grads(interp):
                        padding_mode="border").reshape(B, P, 3)
     outb = hs_mod.hat_sample(src, far, border=True)
     assert float(jnp.max(jnp.abs(outb - refb))) < 1e-5
+
+
+def test_depth_loss_points_path_matches_xla(interp):
+    """The canonical-depth POINTS path (frozen['depth_pts']: sample +
+    masked MSE only at the loss mask's support, train_step.compute_losses)
+    must reproduce the XLA full-frame inverse_warp branch — value and
+    d/d(canonical_depth) — since the mask is zero everywhere else."""
+    import jax
+    import jax.numpy as jnp
+    from speech2lip_tpu.core.config import default_config
+    from speech2lip_tpu.data.synthetic import synthetic_batch
+    from speech2lip_tpu.models import lpips as lpips_mod
+    from speech2lip_tpu.models import talking_face as tfm
+    from speech2lip_tpu.models import unet_light
+    from speech2lip_tpu.train.train_step import StepStatics, compute_losses
+
+    face, lip_h, lip_w = 64, 16, 24
+    cfg = default_config()
+    cfg["model"]["canonical_depth_height"] = face
+    cfg["model"]["canonical_depth_width"] = face
+    raw, geo = synthetic_batch(2, face=face, lip_h=lip_h, lip_w=lip_w)
+    # the points path's premise: target + masks are per-identity constants
+    for k in ("rgb_face_zero", "mask_head_canonical", "mask_face_canonical"):
+        raw[k] = np.broadcast_to(raw[k][:1], raw[k].shape).copy()
+    batch = jax.tree.map(jnp.asarray, raw)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = tfm.init(keys[0], cfg)
+    unet_p, unet_s = unet_light.init(keys[1])
+    frozen = {"lpips": lpips_mod.init(keys[2])}
+
+    m = np.asarray(raw["mask_head_canonical"][0]) * (
+        1.0 - np.asarray(raw["mask_face_canonical"][0]))
+    tgt = np.asarray(raw["rgb_face_zero"][0])
+    m = np.broadcast_to(m, tgt.shape)
+    ys, xs = np.nonzero(m.max(axis=-1) > 0)
+    assert ys.size > 0
+    pts = {"xs": jnp.asarray(xs, jnp.int32), "ys": jnp.asarray(ys, jnp.int32),
+           "w": jnp.asarray(m[ys, xs], jnp.float32),
+           "rgb_zero_pts": jnp.asarray(tgt[ys, xs], jnp.float32)}
+
+    def depth_term(p, st, fz):
+        _, (metrics, _) = compute_losses(p, unet_p, unet_s, fz, batch,
+                                         jax.random.PRNGKey(3), st)
+        return metrics["loss_canonical_depth_photo"]
+
+    def statics(pg):
+        return StepStatics(
+            lip_h=lip_h, lip_w=lip_w, lip_x=geo["lip_x"], lip_y=geo["lip_y"],
+            face_h=face, face_w=face, focal=120.0,
+            face_bbox=(8, 8, 56, 56), use_perceptual=False,
+            use_blackaug=False, depth_loss_box=None, pallas_gather=pg)
+
+    vx, gx_ = jax.value_and_grad(depth_term)(params, statics(False), frozen)
+    vp, gp_ = jax.value_and_grad(depth_term)(
+        params, statics(True), dict(frozen, depth_pts=pts))
+    assert abs(float(vp - vx)) < 1e-5 + 1e-4 * abs(float(vx)), (vp, vx)
+    dx, dp = gx_["canonical_depth"], gp_["canonical_depth"]
+    scale = float(jnp.max(jnp.abs(dx))) + 1e-8
+    assert float(jnp.max(jnp.abs(dp - dx))) < 5e-3 * scale

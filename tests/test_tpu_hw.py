@@ -422,6 +422,69 @@ def test_train_step_pallas_gather_matches_xla_on_tpu():
         assert d < 5e-3, d
 
 
+def test_depth_loss_points_path_matches_xla_on_tpu():
+    """Canonical-depth POINTS path (frozen['depth_pts'], the batch-8
+    26.0 -> 19.3 ms/frame win) vs the XLA full-frame inverse_warp branch,
+    compiled on chip in f32: loss value + d/d(canonical_depth) must
+    agree (the mask is zero outside the sampled support)."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+    from speech2lip_tpu.core.config import default_config
+    from speech2lip_tpu.data.synthetic import synthetic_batch
+    from speech2lip_tpu.models import lpips as lpips_mod
+    from speech2lip_tpu.models import talking_face as tfm
+    from speech2lip_tpu.models import unet_light
+    from speech2lip_tpu.train.train_step import StepStatics, compute_losses
+
+    face, lip_h, lip_w = 64, 16, 24
+    cfg = default_config()
+    cfg["model"]["canonical_depth_height"] = face
+    cfg["model"]["canonical_depth_width"] = face
+    raw, geo = synthetic_batch(2, face=face, lip_h=lip_h, lip_w=lip_w)
+    for k in ("rgb_face_zero", "mask_head_canonical",
+              "mask_face_canonical"):
+        raw[k] = np.broadcast_to(raw[k][:1], raw[k].shape).copy()
+    batch = jax.tree.map(jnp.asarray, raw)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = tfm.init(keys[0], cfg)
+    unet_p, unet_s = unet_light.init(keys[1])
+    frozen = {"lpips": lpips_mod.init(keys[2])}
+
+    m = np.asarray(raw["mask_head_canonical"][0]) * (
+        1.0 - np.asarray(raw["mask_face_canonical"][0]))
+    tgt = np.asarray(raw["rgb_face_zero"][0])
+    m = np.broadcast_to(m, tgt.shape)
+    ys, xs = np.nonzero(m.max(axis=-1) > 0)
+    pts = {"xs": jnp.asarray(xs, jnp.int32),
+           "ys": jnp.asarray(ys, jnp.int32),
+           "w": jnp.asarray(m[ys, xs], jnp.float32),
+           "rgb_zero_pts": jnp.asarray(tgt[ys, xs], jnp.float32)}
+
+    def depth_term(p, st, fz):
+        _, (metrics, _) = compute_losses(p, unet_p, unet_s, fz, batch,
+                                         jax.random.PRNGKey(3), st)
+        return metrics["loss_canonical_depth_photo"]
+
+    def statics(pg):
+        return StepStatics(
+            lip_h=lip_h, lip_w=lip_w, lip_x=geo["lip_x"],
+            lip_y=geo["lip_y"], face_h=face, face_w=face, focal=120.0,
+            face_bbox=(8, 8, 56, 56), use_perceptual=False,
+            use_blackaug=False, depth_loss_box=None, pallas_gather=pg)
+
+    grad_fn = jax.jit(jax.value_and_grad(depth_term),
+                      static_argnums=(1,))
+    vx, gx = grad_fn(params, statics(False), frozen)
+    vp, gp = grad_fn(params, statics(True), dict(frozen, depth_pts=pts))
+    assert abs(float(vp - vx)) < 1e-5 + 1e-4 * abs(float(vx)), (vp, vx)
+    dx, dp = gx["canonical_depth"], gp["canonical_depth"]
+    import jax.numpy as _jnp
+    scale = float(_jnp.max(_jnp.abs(dx))) + 1e-8
+    assert float(_jnp.max(_jnp.abs(dp - dx))) < 5e-3 * scale
+
+
 def test_static_scene_crop_matches_full_on_tpu():
     """The 753-fps serving configuration (tools/bench_serving.py
     --static): 512² face, bf16, fused Pallas kernels, windowed-crop U-Net

@@ -162,6 +162,12 @@ def ablate():
         ("full+hostwarp", {}),    # blackaug statics precomputed on host
         ("full+hw+dcrop", {"depth_loss_box": "auto"}),  # + depth-loss crop
         ("full+hw+pallas", {"pallas_gather": True}),  # hat_sample gathers
+        # + canonical-depth POINTS path (frozen['depth_pts']): sampling
+        # only the loss mask's support.  The synthetic batch's border-ring
+        # mask is unrealistically small, so the bundle below uses a
+        # disk-ring mask with May-like support (~30% of the frame) — the
+        # COST depends only on S, not the mask values.
+        ("full+hw+pts", {"pallas_gather": True, "_depth_pts": True}),
         ("no-blackaug", {"use_blackaug": False}),
         ("no-depthloss", {"use_canonical_depth_loss": False}),
         ("no-perceptual", {"use_perceptual": False}),
@@ -201,11 +207,26 @@ def ablate():
             print(f"# depth-loss crop: {dbox} "
                   f"({dbox[1]-dbox[0]}x{dbox[3]-dbox[2]} of {face}²)",
                   flush=True)
+        yy, xx = np.mgrid[0:face, 0:face]
+        r2 = (yy - face // 2) ** 2 + (xx - face // 2) ** 2
+        ring = (r2 < int(face * 0.46) ** 2) & (r2 > int(face * 0.34) ** 2)
+        ys_p, xs_p = np.nonzero(ring)
+        pts_bundle = {
+            "xs": jnp.asarray(xs_p, jnp.int32),
+            "ys": jnp.asarray(ys_p, jnp.int32),
+            "w": jnp.ones((ys_p.size, 3), jnp.float32),
+            "rgb_zero_pts": jnp.asarray(
+                np.asarray(raw["rgb_face_zero"][0])[ys_p, xs_p],
+                jnp.float32)}
+        print(f"# depth-pts bundle: S={ys_p.size} "
+              f"({100.0 * ys_p.size / face ** 2:.1f}% of {face}²)",
+              flush=True)
         trainable = {"model": params, "unet": unet_p}
         state0 = TrainState(params, unet_p, unet_s, opt.init(trainable),
                             jnp.int32(0))
         for name, over in variants:
             over = dict(over)
+            use_pts = over.pop("_depth_pts", False)
             if over.get("depth_loss_box") == "auto":
                 if dbox is None:
                     continue
@@ -215,7 +236,9 @@ def ablate():
                 lip_y=geo["lip_y"], face_h=face, face_w=face, focal=1200.0,
                 face_bbox=(50, 50, 450, 450), window=window,
                 compute_dtype="bfloat16", **over)
-            step = make_train_step(opt, st, frozen, donate=False)
+            step = make_train_step(
+                opt, st, dict(frozen, depth_pts=pts_bundle) if use_pts
+                else frozen, donate=False)
             dt = bench(step, state0,
                        batch_hw if name.startswith("full+h") else batch)
             print(f"batch {b} {name:13s}: {dt * 1e3:7.1f} ms/step "

@@ -70,6 +70,18 @@ def main():
     ap.add_argument("--validate-every", type=int, default=100)
     ap.add_argument("--psnr-bar", type=float, default=None,
                     help="fail (exit 1) if final val PSNR below this")
+    ap.add_argument("--sync-start-iter", type=int, default=None,
+                    help="cross the reference's staged-training boundary "
+                         "(train.py:188-197): after this iteration the "
+                         "post-net freezes and the SyncNet contrastive "
+                         "loss turns on (one re-jit).  A deterministic "
+                         "random-init SyncNet teacher is saved and shared "
+                         "with cli.evaluate --sync so the confidence "
+                         "metric scores against the SAME teacher the "
+                         "training optimized.  Reports val PSNR / "
+                         "sync confidence / LMD before vs after the "
+                         "boundary plus the train-side loss_sync "
+                         "trajectory.")
     ap.add_argument("--dtype", default=None,
                     help="training.compute_dtype override (e.g. bfloat16 "
                          "— with batch >= 4 on TPU this also turns on the "
@@ -92,6 +104,24 @@ def main():
     geo = make_learnable_tree(root, n_frames=args.frames, face=args.face,
                               lip_h=args.lip_h, lip_w=args.lip_w)
     cfg = build_cfg(root, geo, ckpt_dir, args)
+    if args.sync_start_iter is not None:
+        import jax
+        from speech2lip_tpu.core import checkpoint as ckpt_io
+        from speech2lip_tpu.models import syncnet as syncnet_mod
+        # the SAME teacher for training and scoring: cli.evaluate._sync_score
+        # inits from PRNGKey(0) then loads syncnet_weights — save that exact
+        # tuple so both sides agree
+        teacher_path = os.path.join(args.out, "syncnet_teacher.ckpt")
+        ckpt_io.save(teacher_path, syncnet_mod.init(jax.random.PRNGKey(0)))
+        cfg["training"].update({
+            "use_syncloss": True,
+            "sync_start_iter": args.sync_start_iter,
+            "postnet_freeze_iter": args.sync_start_iter,
+            "syncnet_weights": teacher_path,
+            # an immutable model_<N>.ckpt lands exactly at the staging
+            # boundary — the "before" model for the before/after report
+            "backup_every": args.sync_start_iter,
+        })
     cfg_path = os.path.join(args.out, "config.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
@@ -111,29 +141,37 @@ def main():
                 traj.append({"it": rec["it"], "psnr": rec["val/psnr"]})
     best_selected = os.path.exists(os.path.join(ckpt_dir, "model_best.ckpt"))
 
-    # ---- render the val split via the production CLI, from best ckpt
-    render_name = "convergence"
+    # ---- render the val split via the production CLI + score it
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     if args.cpu:
         env["JAX_PLATFORMS"] = "cpu"
-    subprocess.run(
-        [sys.executable, "-m", "speech2lip_tpu.cli.infer", cfg_path,
-         "--output_dir", render_name, "--model_path", "model_best.ckpt",
-         "--batch", str(args.batch)],
-        check=True, env=env, cwd=args.out)
-
-    pred_dir = os.path.join(args.out, "rendering_result", render_name,
-                            "postfusion")
     n_train = args.frames - args.val_frames
-    ev = subprocess.run(
-        [sys.executable, "-m", "speech2lip_tpu.cli.evaluate",
-         "--pred", pred_dir,
-         "--gt", os.path.join(root, "ori_images_face"),
-         "--offset", str(n_train)],
-        check=True, env=env, capture_output=True, text=True)
-    metrics = json.loads(ev.stdout.strip().splitlines()[-1])
+
+    def render_and_score(render_name: str, model_file: str,
+                         with_sync: bool) -> dict:
+        subprocess.run(
+            [sys.executable, "-m", "speech2lip_tpu.cli.infer", cfg_path,
+             "--output_dir", render_name, "--model_path", model_file,
+             "--batch", str(args.batch)],
+            check=True, env=env, cwd=args.out)
+        pred_dir = os.path.join(args.out, "rendering_result", render_name,
+                                "postfusion")
+        cmd = [sys.executable, "-m", "speech2lip_tpu.cli.evaluate",
+               "--pred", pred_dir,
+               "--gt", os.path.join(root, "ori_images_face"),
+               "--offset", str(n_train)]
+        if with_sync:
+            # sync confidence against the shared teacher + LMD from the
+            # in-repo FAN pass (self-consistent detector, before == after)
+            cmd += ["--sync", "--config", cfg_path, "--lms-from-fan"]
+        ev = subprocess.run(cmd, check=True, env=env, capture_output=True,
+                            text=True)
+        return json.loads(ev.stdout.strip().splitlines()[-1])
+
+    metrics = render_and_score("convergence", "model_best.ckpt",
+                               with_sync=args.sync_start_iter is not None)
 
     report = {
         "geometry": geo,
@@ -146,6 +184,33 @@ def main():
         "rendered_val_metrics": metrics,
         "backend": os.environ.get("JAX_PLATFORMS", "default"),
     }
+
+    if args.sync_start_iter is not None:
+        # before/after the staging boundary: the immutable boundary backup
+        # vs the final rolling checkpoint, both scored with sync + LMD
+        before = render_and_score(
+            "conv_presync", f"model_{args.sync_start_iter}.ckpt",
+            with_sync=True)
+        after = render_and_score("conv_postsync", "model.ckpt",
+                                 with_sync=True)
+        sync_traj = []
+        with open(os.path.join(ckpt_dir, "metrics.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "train/loss_sync" in rec:
+                    sync_traj.append({"it": rec["it"],
+                                      "loss_sync": rec["train/loss_sync"]})
+        report.update({
+            "sync_start_iter": args.sync_start_iter,
+            "presync_val_metrics": before,
+            "postsync_val_metrics": after,
+            "loss_sync_trajectory": sync_traj,
+            # stability across the re-jit boundary: PSNR must not collapse
+            "postsync_psnr_drop_db": round(
+                before["psnr"] - after["psnr"], 3),
+            "sync_conf_delta": round(
+                after["sync_conf"] - before["sync_conf"], 4),
+        })
     print(json.dumps(report, indent=2))
     if args.json:
         with open(args.json, "w") as f:
