@@ -240,6 +240,12 @@ def render_mesh(assets: BFMAssets, rott_geometry, texture, gamma,
     render_3dmm.py:227-238): returns [B, H, W, 3] in [0, 255] and the
     fragments (for depth/mask reuse).
 
+    Camera convention: the BFM camera looks down −z (reference tracker
+    init trans z < 0, face_tracker.py:190-196), so rasterization depth is
+    −z — same negation the tracker (`tracker.py` pix_colors) and
+    `steps.mesh_depth` apply.  Before round 4 this negation was missing
+    here, so every negative-z caller silently rendered black frames.
+
     Differentiable w.r.t. texture/gamma (shading) and geometry through the
     interpolated attribute values at fixed rasterized correspondences.
     """
@@ -248,6 +254,7 @@ def render_mesh(assets: BFMAssets, rott_geometry, texture, gamma,
     colors = sh_illumination(texture, normals, gamma)
     cxy = (width / 2.0, height / 2.0)
     pix = proj_pts(rott_geometry, focal, cxy)
+    pix = pix.at[:, :, 2].multiply(-1.0)  # BFM camera looks down -z
 
     def one(pix_b, col_b):
         frag = rasterize(pix_b, assets.tris, height, width, **raster_kwargs)

@@ -102,7 +102,11 @@ def test_render_mesh_synthetic_bfm(rng):
     geo = bfm.forward_geo(assets, id_p, exp_p)
     tex = bfm.forward_tex(assets, tex_p)
     euler = jnp.zeros((1, 3))
-    trans = jnp.asarray([[0.0, 0.0, 4.0]])
+    # BFM convention: camera looks down -z, so the face sits at NEGATIVE z
+    # (reference face_tracker.py:190-196) — render_mesh must handle this
+    # (before round 4 it only rendered positive-z worlds; every production
+    # caller got silent black frames)
+    trans = jnp.asarray([[0.0, 0.0, -4.0]])
     rott = bfm.rot_trans_pts(geo, bfm.euler2rot(euler), trans)
     gamma = jnp.zeros((1, 27))
     img, frags = bfm.render_mesh(assets, rott, tex, gamma, focal=40.0,

@@ -99,9 +99,9 @@ def test_tracker_photometric_phases_run(world):
                              jnp.asarray(track["trans"]))
     tex = bfm.forward_tex(assets, jnp.zeros((1, 6)))
     imgs, _ = bfm.render_mesh(
-        assets, rott.at[:, :, 2].multiply(-1.0) if False else rott,
-        jnp.broadcast_to(tex, (n, assets.point_num, 3)),
+        assets, rott, jnp.broadcast_to(tex, (n, assets.point_num, 3)),
         jnp.zeros((n, 27)), FOCAL, H, W, **RK)
+    assert float(jnp.max(imgs)) > 1.0  # the world must not render black
     cfg = TrackerConfig(id_dim=6, exp_dim=4, tex_dim=6, img_h=H, img_w=W,
                         batch_size=3, iters_pose=100, iters_idexp=80,
                         iters_photo=6, iters_window=4, raster_kwargs=RK)

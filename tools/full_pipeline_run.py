@@ -141,6 +141,15 @@ def make_world(out: str, args):
                                   chunk=4)
         frames.extend(np.asarray(imgs).astype(np.uint8))
 
+    # guard against the silent-black-render failure mode (a missing -z
+    # camera negation once produced an all-black world here, which trains
+    # to a meaningless 47 dB PSNR): the synthesized video must carry signal
+    fstack = np.stack(frames)
+    if fstack.max() < 20 or fstack.std() < 2.0:
+        raise RuntimeError(
+            f"synthesized world is (near-)black: max={fstack.max()} "
+            f"std={fstack.std():.2f} — rendering convention broken")
+
     write_avi(os.path.join(out, "clip.avi"), frames, fps=fps,
               audio=wav_i16, sample_rate=sr)
 
