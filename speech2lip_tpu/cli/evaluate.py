@@ -94,20 +94,43 @@ def _lmd_from_fan(args, pred_files, gt_files):
     from speech2lip_tpu.preprocess.landmarks import detect_landmarks
     from speech2lip_tpu.train import metrics_eval as me
 
-    fp, fs = fan.init(jax.random.PRNGKey(0))
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tiny_path = os.path.join(repo, "models", "tiny_landmarks.ckpt")
+    fp = fs = apply_fn = None
     if os.path.exists(args.lms_from_fan):
+        fp, fs = fan.init(jax.random.PRNGKey(0))
         (fp, fs), _ = ckpt.load(args.lms_from_fan, like=(fp, fs))
+        apply_fn = jax.jit(fan.apply)
+        detector = "fan"
+    elif os.path.exists(tiny_path):
+        # no pretrained FAN in this environment: fall back to the in-repo
+        # distilled regressor (models/tiny_landmarks.py, trained by
+        # tools/train_tiny_landmarks.py on exactly-labeled 3DMM renders) —
+        # deterministic weights + real landmark signal on render-domain
+        # faces, instead of a random-init FAN
+        from speech2lip_tpu.models import tiny_landmarks as tl
+        tp = ckpt.load(tiny_path, like=tl.init(jax.random.PRNGKey(0)))[0]
+        detect_tiny = jax.jit(tl.detect)
+        detector = "tiny"
+        print("# LMD detector: models/tiny_landmarks.ckpt (distilled "
+              "in-repo; self-consistent, not the published-FAN protocol)")
     else:
+        fp, fs = fan.init(jax.random.PRNGKey(0))
+        apply_fn = jax.jit(fan.apply)
+        detector = "fan-random"
         print(f"# WARNING: FAN weights '{args.lms_from_fan}' not found — "
               "using random-init FAN (LMD still measures pred/GT landmark "
               "consistency through the same detector, but absolute values "
               "are not comparable to the published protocol)")
-    apply_fn = jax.jit(fan.apply)
 
     def lms_of(path):
         img = cv2.cvtColor(cv2.imread(path),
                            cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
         h, w = img.shape[:2]
+        if detector == "tiny":
+            import jax.numpy as jnp
+            return np.asarray(detect_tiny(tp, jnp.asarray(img)))
         return detect_landmarks(fp, fs, img, (0, 0, w, h), apply_fn=apply_fn)
 
     lp, lg = [], []
