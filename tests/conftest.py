@@ -34,3 +34,13 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tiered suite (VERDICT r3 weak #5): everything not marked slow or
+    heavy is auto-marked ``quick`` — ``pytest -m quick`` is the <10-min
+    single-CPU gate; ``-m "not slow"`` adds the heavy parity tests;
+    the full suite (incl. slow) is the nightly tier."""
+    for item in items:
+        if "slow" not in item.keywords and "heavy" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

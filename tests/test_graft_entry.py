@@ -6,13 +6,17 @@ Under pytest the conftest already provides 8 virtual CPU devices, so the
 force path is a no-op and the dryrun must simply work.
 """
 
+import pytest
+
 import __graft_entry__
 
 
-def test_dryrun_multichip_8():
+@pytest.mark.slow  # ~20 min on 1 CPU: the driver runs dryrun(8) every
+def test_dryrun_multichip_8():  # round anyway (MULTICHIP_r*.json)
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.heavy
 def test_dryrun_multichip_2():
     __graft_entry__.dryrun_multichip(2)
 

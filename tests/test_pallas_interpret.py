@@ -78,6 +78,7 @@ def test_hat_sample_interpret_value_and_grads(interp):
     assert float(jnp.max(jnp.abs(outb - refb))) < 1e-5
 
 
+@pytest.mark.heavy
 def test_depth_loss_points_path_matches_xla(interp):
     """The canonical-depth POINTS path (frozen['depth_pts']: sample +
     masked MSE only at the loss mask's support, train_step.compute_losses)

@@ -139,6 +139,7 @@ def test_blackaug_static_warp_bit_exact(tree):
     np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_canonical_depth_loss_crop_equals_full_frame(tree):
     """The static-crop canonical-depth loss (StepStatics.depth_loss_box +
     warp_grid_crop + grid_sample_onehot_border) computes the SAME loss as
@@ -206,6 +207,7 @@ def test_train_step_sync_stage(tree):
     assert moved
 
 
+@pytest.mark.heavy
 def test_sharded_train_step_8_devices(tree):
     root, geo, cfg = tree
     assert jax.device_count() == 8
