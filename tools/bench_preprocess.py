@@ -12,8 +12,21 @@ Basel-sized synthetic 3DMM (34,650 verts / id 100 / exp 79 / tex 100) on
 
     python tools/bench_preprocess.py [--frames 50] [--verts 34650]
         [--no-focal] [--json out.json]
+        [--scaling] [--devices 8] [--clips 500,1000,5000]
 
 Prints one JSON line with phase timings.
+
+``--scaling`` (VERDICT r3 next #5): the tracker's photometric phases now
+shard their frames over a mesh 'data' axis (preprocess/tracker.py:
+_chunked_col_loss shard_map; equality vs the sequential fit pinned by
+tests/test_tracker_steps.py on the 8-virtual-device CPU mesh).  Only ONE
+real chip exists in this environment, so the D-chip wall-clock is
+measured as the per-device SHARE: re-run phases c/d with
+ceil(batch/D) frames — exactly the work one of D chips does, since the
+only cross-device traffic is one psum of the (tiny, parameter-sized)
+gradients per Adam iteration.  The report then extrapolates full clips
+(phases a/b scale with total frames; c is a fixed 50-key-frame fit;
+d runs ceil(frames/50) sequential windows, each window's frames sharded).
 """
 
 from __future__ import annotations
@@ -33,6 +46,19 @@ def main():
     ap.add_argument("--verts", type=int, default=34650)
     ap.add_argument("--no-focal", action="store_true",
                     help="skip the find_focal grid search")
+    ap.add_argument("--scaling", action="store_true",
+                    help="also measure the per-device share of the "
+                         "photometric phases (see module docstring) and "
+                         "print a full-clip extrapolation table")
+    ap.add_argument("--devices", type=int, default=8,
+                    help="mesh size the per-device share simulates")
+    ap.add_argument("--clips", default="500,1000,5000",
+                    help="clip lengths (frames) for the extrapolation")
+    ap.add_argument("--budget-scale", type=float, default=1.0,
+                    help="multiply every tracker iteration budget "
+                         "(CI smoke: 0.01; production numbers need 1.0)")
+    ap.add_argument("--image-size", type=int, default=500,
+                    help="tracker frame size (production: 500)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -47,16 +73,25 @@ def main():
     assets = bfm.synthetic_assets(n_verts=args.verts, id_dim=100,
                                   exp_dim=79, tex_dim=100)
 
-    n, h, w = args.frames, 500, 500
+    n, h, w = args.frames, args.image_size, args.image_size
     rng = np.random.default_rng(0)
     # plausible landmark tracks (smooth per-frame drift around the center)
-    base_lms = rng.uniform(150, 350, (68, 2)).astype(np.float32)
+    lo, hi = 0.3 * h, 0.7 * h
+    base_lms = rng.uniform(lo, hi, (68, 2)).astype(np.float32)
     drift = 3.0 * np.sin(np.arange(n)[:, None, None] / 7.0
                          + rng.uniform(0, 6, (1, 68, 2)))
     lms = (base_lms[None] + drift).astype(np.float32)
     images = rng.uniform(0, 255, (n, h, w, 3)).astype(np.float32)
 
-    cfg = TrackerConfig()  # defaults = the reference iteration budgets
+    cfg = TrackerConfig(img_h=h, img_w=w)  # defaults = reference budgets
+    if args.budget_scale != 1.0:
+        import dataclasses
+        s = args.budget_scale
+        cfg = dataclasses.replace(
+            cfg, **{f: max(2, int(getattr(cfg, f) * s))
+                    for f in ("iters_focal_pose", "iters_focal_idexp",
+                              "iters_pose", "iters_idexp", "iters_photo",
+                              "iters_window")})
     tracker = FaceTracker(assets, lms, cfg)
 
     report = {"frames": n, "verts": args.verts,
@@ -84,6 +119,52 @@ def main():
     tracker.fit(focal, images=images, timings=timings)
     report["fit_total_s"] = round(time.perf_counter() - t0, 1)
     report.update({k + "_s": round(v, 1) for k, v in timings.items()})
+
+    if args.scaling:
+        import dataclasses
+        import math
+        d = args.devices
+        share = -(-min(cfg.batch_size, n) // d)  # ceil: one device's frames
+        print(f"# per-device share: phases c/d at {share} frames "
+              f"(= ceil({min(cfg.batch_size, n)}/{d}))...", file=sys.stderr)
+        cfg_s = dataclasses.replace(cfg, batch_size=share)
+        tr_s = FaceTracker(assets, lms[:share], cfg_s)
+        tim_s = {}
+        tr_s.fit(focal, images=images[:share], timings=tim_s)
+        report["devices_simulated"] = d
+        report["share_frames"] = share
+        report.update({k + "_share_s": round(v, 1)
+                       for k, v in tim_s.items()
+                       if k.startswith("phase_c") or k.startswith("phase_d")})
+
+        # full-clip extrapolation (models documented in the docstring)
+        c_full = timings["phase_c_photometric"]
+        dw_full = timings["phase_d_window"]        # 1 window at 50 frames
+        c_share = tim_s["phase_c_photometric"]
+        dw_share = tim_s["phase_d_window"]
+        ab_per_frame = (timings["phase_a_pose"]
+                        + timings["phase_b_idexp"]) / n
+        table = []
+        for clip in [int(x) for x in args.clips.split(",") if x]:
+            windows = math.ceil(clip / cfg.batch_size)
+            one = ab_per_frame * clip + c_full + windows * dw_full
+            # phases a/b are landmark-only (ms/iter, not worth sharding);
+            # c and every window ride the mesh
+            dd = ab_per_frame * clip + c_share + windows * dw_share
+            table.append({"clip_frames": clip, "windows": windows,
+                          "chip1_min": round(one / 60, 1),
+                          f"chips{d}_min": round(dd / 60, 1),
+                          "speedup": round(one / dd, 2)})
+        report["extrapolation"] = table
+        cd1 = c_full + dw_full
+        cdd = c_share + dw_share
+        report["phase_cd_speedup_at_devices"] = round(cd1 / cdd, 2)
+        for row in table:
+            print(f"# clip {row['clip_frames']}f: 1 chip "
+                  f"{row['chip1_min']} min -> {d} chips "
+                  f"{row[f'chips{d}_min']} min ({row['speedup']}x)",
+                  file=sys.stderr)
+
     print(json.dumps(report))
     if args.json:
         with open(args.json, "w") as f:

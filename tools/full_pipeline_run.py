@@ -88,6 +88,15 @@ def make_world(out: str, args):
     rng = np.random.default_rng(args.seed)
     assets = bfm.synthetic_assets(n_verts=args.verts, id_dim=8, exp_dim=6,
                                   tex_dim=8, seed=args.seed)
+    # stretch the blob along z: a unit sphere at z0 = -focal/(0.42·crop)
+    # subtends depth/distance ≈ 1/33 — focal and depth are then nearly
+    # interchangeable and find_focal's landmark grid is flat.  A real face
+    # at arm's length sits near 1/10; stretching restores that, making the
+    # recovered focal a meaningful check rather than a coin flip.
+    if args.depth_stretch != 1.0:
+        mu = np.asarray(assets.mu).reshape(-1, 3).copy()
+        mu[:, 2] *= args.depth_stretch
+        assets = assets._replace(mu=jnp.asarray(mu.reshape(-1)))
     assets_dir = os.path.join(out, "assets")
     save_assets_reference_schema(assets, assets_dir)
 
@@ -106,7 +115,7 @@ def make_world(out: str, args):
     z0 = -args.focal_true / (0.42 * args.crop)  # face radius ≈ 0.42·crop px
     trans = np.stack([0.15 * np.sin(2 * np.pi * 0.23 * t),
                       0.12 * np.sin(2 * np.pi * 0.17 * t + 1.0),
-                      z0 + 0.1 * np.sin(2 * np.pi * 0.11 * t)],
+                      z0 + args.z_motion * np.sin(2 * np.pi * 0.11 * t)],
                      axis=1).astype(np.float32)
 
     # audio: tones whose amplitude envelopes follow the expression comps
@@ -190,6 +199,13 @@ def main():
     ap.add_argument("--lip-w", type=int, default=24)
     ap.add_argument("--lip-h", type=int, default=16)
     ap.add_argument("--verts", type=int, default=400)
+    ap.add_argument("--depth-stretch", type=float, default=2.5,
+                    help="stretch the synthetic head along z so focal is "
+                         "identifiable from the landmark grid (see "
+                         "make_world)")
+    ap.add_argument("--z-motion", type=float, default=1.0,
+                    help="amplitude of the head's z oscillation (scale "
+                         "cue across frames)")
     ap.add_argument("--focal-true", type=float, default=900.0,
                     help="rendering focal; find_focal's 600–1500 grid "
                          "must straddle it")
