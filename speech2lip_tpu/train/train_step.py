@@ -422,6 +422,17 @@ def make_train_step(optimizer: optax.GradientTransformation,
         if st.postnet_frozen:
             grads["unet"] = jax.tree.map(jnp.zeros_like, grads["unet"])
         updates, new_opt = optimizer.update(grads, state.opt_state, trainable)
+        if st.postnet_frozen:
+            # Zeroing the GRADS is not enough under Adam: its first-moment
+            # buffer keeps emitting residual-momentum updates for ~1/(1-b1)
+            # iterations past the boundary, and those few effective steps
+            # on the BatchNorm scales/biases shift the frozen U-Net's
+            # output globally (measured: 40 -> 21 dB rendered face PSNR
+            # 800 iters after the freeze).  The reference freezes via
+            # requires_grad=False (train.py:188-197), which makes torch's
+            # Adam skip the params entirely — matched here by masking the
+            # UPDATES so the frozen tree is bit-identical forever after.
+            updates["unet"] = jax.tree.map(jnp.zeros_like, updates["unet"])
         new_trainable = optax.apply_updates(trainable, updates)
         new_state = TrainState(
             params=new_trainable["model"],

@@ -207,6 +207,41 @@ def test_train_step_sync_stage(tree):
     assert moved
 
 
+def test_postnet_freeze_with_accumulated_momentum(tree):
+    """The freeze must hold when it flips MID-RUN (reference
+    train.py:188-197: requires_grad=False at it>100k): Adam's first-moment
+    buffer is non-zero at the boundary, and zeroing only the grads lets
+    residual momentum keep updating the 'frozen' post-net for ~1/(1-b1)
+    iterations — enough BatchNorm scale/bias drift to collapse the rendered
+    composite (measured 40 -> 21 dB, CONVERGENCE_SYNC run 1).  Pins the
+    update-masking fix: bit-identical unet params through the boundary."""
+    import dataclasses
+    root, geo, cfg = tree
+    ds = LipDataset(root, "train", cfg)
+    params, unet_p, unet_s, frozen, st = _build(cfg, geo, ds)
+    opt = make_optimizer(cfg)
+    trainable = {"model": params, "unet": unet_p}
+    state = TrainState(params, unet_p, unet_s, opt.init(trainable),
+                       jnp.int32(0))
+    batch = stack_batch([ds.load_frame(0)])
+    batch = jax.tree.map(jnp.asarray, batch)
+    # stage 1: three unfrozen steps accumulate real momentum on the unet
+    step_hot = make_train_step(opt, st, frozen, donate=False)
+    for i in range(3):
+        state, _ = step_hot(state, batch, jax.random.PRNGKey(i))
+    mu_unet = jax.tree.leaves(state.opt_state[0].mu["unet"])
+    assert any(float(np.abs(np.asarray(m)).max()) > 0 for m in mu_unet)
+    # stage 2: the boundary re-jit — same opt state, frozen statics
+    st2 = dataclasses.replace(st, sync_on=True, postnet_frozen=True)
+    step_cold = make_train_step(opt, st2, frozen, donate=False)
+    ref = jax.tree.map(np.asarray, state.unet_params)
+    for i in range(3):
+        state, _ = step_cold(state, batch, jax.random.PRNGKey(10 + i))
+        for a, b in zip(jax.tree.leaves(ref),
+                        jax.tree.leaves(state.unet_params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+
 @pytest.mark.heavy
 def test_sharded_train_step_8_devices(tree):
     root, geo, cfg = tree
