@@ -220,9 +220,19 @@ def make_learnable_tree(root: str, n_frames: int = 120, face: int = 64,
     np.save(os.path.join(root, "audio_test", "audio.npy"),
             aud[: max(2, n_frames // 4)])
 
+    # --- wav: the SAME latent modulates amplitude/pitch/brightness, so the
+    # mel sync windows (crop_audio_window) carry real audio↔lip
+    # correspondence — a constant tone would make the SyncNet contrastive
+    # task unlearnable by construction (every mel window identical).
     dur = n_frames / fps + 1.0
     t = np.arange(int(dur * sample_rate)) / sample_rate
-    wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wav_lat = _latent_track(t * fps)                     # [T, 3]
+    amp = 0.18 + 0.14 * wav_lat[:, 0]                    # a0 = mouth opening
+    f0 = 220.0 * (2.0 ** (0.6 * wav_lat[:, 1]))          # a1 = pitch
+    phase = 2 * np.pi * np.cumsum(f0) / sample_rate
+    wav = (amp * np.sin(phase)
+           + (0.06 + 0.04 * wav_lat[:, 2])
+           * np.sin(2 * np.pi * 2800.0 * t)).astype(np.float32)
     from scipy.io import wavfile
     wavfile.write(os.path.join(root, "audio", "audio.wav"), sample_rate,
                   (wav * 32767).astype(np.int16))

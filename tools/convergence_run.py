@@ -82,6 +82,14 @@ def main():
                          "sync confidence / LMD before vs after the "
                          "boundary plus the train-side loss_sync "
                          "trajectory.")
+    ap.add_argument("--pretrain-teacher", type=int, default=0,
+                    help="train the SyncNet teacher for N steps on the "
+                         "identity's ground-truth frames before the main "
+                         "run (train/syncnet_pretrain.py) instead of "
+                         "using a random-init teacher — the sync loss "
+                         "then measures real audio-lip correspondence, "
+                         "so its trajectory and the sync-confidence "
+                         "metric are meaningful, not noise-floor flat.")
     ap.add_argument("--dtype", default=None,
                     help="training.compute_dtype override (e.g. bfloat16 "
                          "— with batch >= 4 on TPU this also turns on the "
@@ -112,7 +120,14 @@ def main():
         # inits from PRNGKey(0) then loads syncnet_weights — save that exact
         # tuple so both sides agree
         teacher_path = os.path.join(args.out, "syncnet_teacher.ckpt")
-        ckpt_io.save(teacher_path, syncnet_mod.init(jax.random.PRNGKey(0)))
+        if args.pretrain_teacher > 0:
+            from speech2lip_tpu.train.syncnet_pretrain import pretrain_teacher
+            teacher, teacher_hist = pretrain_teacher(
+                cfg, steps=args.pretrain_teacher)
+            ckpt_io.save(teacher_path, teacher)
+        else:
+            teacher_hist = None
+            ckpt_io.save(teacher_path, syncnet_mod.init(jax.random.PRNGKey(0)))
         cfg["training"].update({
             "use_syncloss": True,
             "sync_start_iter": args.sync_start_iter,
@@ -202,6 +217,8 @@ def main():
                                       "loss_sync": rec["train/loss_sync"]})
         report.update({
             "sync_start_iter": args.sync_start_iter,
+            "teacher_pretrain_steps": args.pretrain_teacher,
+            "teacher_bce_history": teacher_hist,
             "presync_val_metrics": before,
             "postsync_val_metrics": after,
             "loss_sync_trajectory": sync_traj,
