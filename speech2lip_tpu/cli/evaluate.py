@@ -72,8 +72,12 @@ def main():
                 args.lms_gt,
                 gt_files[args.offset + i].replace(".jpg", ".lms"))))
         out["lmd"] = me.lmd(np.stack(lp), np.stack(lg))
+        out["lmd_detector"] = "precomputed"
     elif args.lms_from_fan is not None:
-        out["lmd"] = _lmd_from_fan(args, pred_files, gt_files)
+        # the detector name rides the JSON so scores are never silently
+        # mixed across protocols (fan vs the distilled tiny fallback)
+        out["lmd"], out["lmd_detector"] = _lmd_from_fan(args, pred_files,
+                                                        gt_files)
 
     if args.sync and args.config:
         out.update(_sync_score(args))
@@ -137,7 +141,7 @@ def _lmd_from_fan(args, pred_files, gt_files):
     for i, f in enumerate(pred_files):
         lp.append(lms_of(os.path.join(args.pred, f)))
         lg.append(lms_of(os.path.join(args.gt, gt_files[args.offset + i])))
-    return me.lmd(np.stack(lp), np.stack(lg))
+    return me.lmd(np.stack(lp), np.stack(lg)), detector
 
 
 def _sync_score(args):

@@ -98,7 +98,7 @@ def main():
         from speech2lip_tpu.data.windows import cached_warp_window
         window = cached_warp_window(
             cfg["data"]["path"], box, ds.face_h, ds.face_w,
-            lambda: (ds._coord(i) for i in range(len(ds))))
+            ds.iter_coords)
         print(f"warp window: {window}")
 
     if args.change_pose is not None:

@@ -123,8 +123,7 @@ def main():
                 cfg_i["data"].get("expand_mask_divisor", 5))
             win = cached_warp_window(
                 cfg_i["data"]["path"], box, ds_i.face_h, ds_i.face_w,
-                lambda ds_i=ds_i: (ds_i._coord(i)
-                                   for i in range(len(ds_i))))
+                ds_i.iter_coords)
         windows.append(tuple(win) if win is not None else None)
     if any(w is None for w in windows):
         window = None  # full-frame warp, always safe

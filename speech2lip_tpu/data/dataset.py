@@ -184,6 +184,18 @@ class LipDataset:
             self.coords_dir, self.coord_files[self._index_map[pos]])
         ).astype(np.float32)
 
+    def iter_coords(self):
+        """Every canonical→observed coord grid on disk, in file order.
+
+        The warp-window scan (data/windows.compute_warp_window) is a
+        geometry property of the coord grids, NOT of the split: indexing
+        it through ``_coord(range(len(self)))`` overruns in test mode,
+        where the dataset is sized by the audio windows (reference
+        dataset.py:127-130) which can outnumber the tracked frames."""
+        for f in self.coord_files:
+            yield np.load(os.path.join(self.coords_dir, f)
+                          ).astype(np.float32)
+
     def load_frame_light(self, pos: int) -> Dict[str, Any]:
         """The cheap in-memory fields of a sample (everything except the
         per-frame lip/face JPEGs and the coord grid) — the complement of the

@@ -144,11 +144,11 @@ class MultiSpeakerServer:
                 # program does NOT partition here: vmap batches the U-Net
                 # convs via feature_group_count, which the SPMD partitioner
                 # cannot split across the group axis.)
-                from jax.experimental.shard_map import shard_map
+                from jax import shard_map
                 from jax.sharding import PartitionSpec as P
                 vm = shard_map(vm, mesh=mesh,
                                in_specs=(P("data"), P("data")),
-                               out_specs=P("data"), check_rep=False)
+                               out_specs=P("data"), check_vma=False)
             return jax.jit(vm)
 
         self._group_fns = {
@@ -164,6 +164,14 @@ class MultiSpeakerServer:
             for off in self.groups
         } if use_pallas else {}
         self._single_fns = {}
+
+    def param_shardings(self) -> Dict[tuple, Any]:
+        """Public placement view: {offset group -> jax.sharding.Sharding} of
+        the stacked identity parameters.  Exists so external checks (the
+        driver dryrun, ops tooling) can assert identities are actually
+        distributed without reaching into the server's internals."""
+        return {off: jax.tree.leaves(tree)[0].sharding
+                for off, tree in self._stacked.items()}
 
     # past this per-identity frame count the sequential fused-kernel path
     # out-runs the vmapped XLA program (the fused U-Net is ~1.4x XLA and

@@ -221,7 +221,8 @@ def apply_infer_hcw(params, state, x, row_tile: int = 16):
     return jnp.transpose(y, (0, 1, 3, 2)) + params["outc"]["b"]
 
 
-def apply_infer_fused(params, state, x, hcw_input: bool = False):
+def apply_infer_fused(params, state, x, hcw_input: bool = False,
+                      hcw_cin: int = 3):
     """Inference forward as five fully-fused Pallas blocks
     (ops/pallas/conv_hcw.fused_block_hcw): every DoubleConv runs with its
     2×2 maxpool (down path) or its 2× upsample + skip concat (up path)
@@ -237,16 +238,18 @@ def apply_infer_fused(params, state, x, hcw_input: bool = False):
     layout (transposed + channel-padded to 16), i.e. what a host-side HCW
     data layout would deliver — exists so tools/bench_hcw_ingest.py can
     measure the ingest transpose's true end-to-end cost rather than an
-    isolated (layout-assignment no-op) transpose.
+    isolated (layout-assignment no-op) transpose.  ``hcw_cin`` is the TRUE
+    channel count inside the 16-padded dim (the conv1 weight padding must
+    match it; the padded-to-16 shape alone can't tell 3 from, say, 4).
     """
     from speech2lip_tpu.ops.pallas.conv_hcw import (fused_block_hcw,
                                                     halo2_pad)
     from speech2lip_tpu.ops.pallas.conv_block import fold_bn
 
     if hcw_input:
-        b, h, cin, w = x.shape
-        assert cin == 16, x.shape
-        cin = 3  # the pad carries zeros; conv1 weights are padded to match
+        b, h, cpadded, w = x.shape
+        assert cpadded == 16, x.shape
+        cin = hcw_cin  # the pad carries zeros; conv1 weights pad to match
     else:
         b, h, w, cin = x.shape
     assert h % 4 == 0 and w % 4 == 0, (h, w)

@@ -239,7 +239,7 @@ class FaceTracker:
         # repeated frames render valid geometry (no NaNs) and contribute
         # exactly zero to the sum AND to the gradients, so the sharded
         # loss == the sequential loss up to float reduction order.
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         ndata = dict(self.mesh.shape)["data"]

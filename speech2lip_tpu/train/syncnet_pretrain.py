@@ -103,8 +103,14 @@ def pretrain_teacher(cfg: Dict, steps: int = 400, batch: int = 16,
 
     windows_np, mels_np = build_sync_arrays(cfg)
     n = len(windows_np)
-    if n < 2:
-        raise ValueError(f"need >=2 sync windows, got {n}")
+    if n < 7:
+        # the negative-sampling guarantee below ("off by >= 3 frames") needs
+        # shift in [3, n-3] to survive the mod-n wrap on BOTH sides; with
+        # n <= 6 a wrapped "negative" mel can land 1-2 frames from the
+        # positive, i.e. nearly identical audio labeled 0 (ADVICE r4)
+        raise ValueError(
+            f"need >= 7 sync windows for >=3-frame negative sampling, got "
+            f"{n}; provide a longer clip or lower the sync window stride")
 
     windows = jnp.asarray(windows_np)
     mels = jnp.asarray(mels_np)[..., None]  # [W, 80, 16, 1]
@@ -127,9 +133,10 @@ def pretrain_teacher(cfg: Dict, steps: int = 400, batch: int = 16,
     def step(p, s, o, k):
         k1, k2 = jax.random.split(k)
         pos = jax.random.randint(k1, (batch,), 0, n)
-        # negative mel: a different window, uniformly off by >=3 frames so
-        # adjacent (nearly identical) audio can't be a "negative"
-        shift = jax.random.randint(k2, (batch,), 3, max(4, n - 3))
+        # negative mel: a different window, uniformly off by >=3 frames in
+        # BOTH mod-n directions (shift in [3, n-4], so min(shift, n-shift)
+        # >= 3) — adjacent (nearly identical) audio can't be a "negative"
+        shift = jax.random.randint(k2, (batch,), 3, n - 3)
         neg_mel = jnp.mod(pos + shift, n)
         face_idx = jnp.concatenate([pos, pos])
         mel_idx = jnp.concatenate([pos, neg_mel])

@@ -175,7 +175,7 @@ def _warp_window(cfg, ds: LipDataset):
                                    cfg["data"].get("expand_mask_divisor", 5))
             win = cached_warp_window(
                 ds.root, box, ds.face_h, ds.face_w,
-                lambda: (ds._coord(i) for i in range(len(ds))), margin=8)
+                ds.iter_coords, margin=8)
     win = tuple(win) if win is not None else None
     _WINDOW_CACHE[key] = win
     return win
@@ -395,7 +395,14 @@ def fit(cfg: Dict[str, Any], max_iters: Optional[int] = None,
     # batch that still fits, keeping sharding valid.
     host_frames = len(range(proc_id, len(ds), n_proc))
     n_dev = mesh.devices.shape[0]
-    if batch_size > host_frames >= n_dev:
+    if host_frames < n_dev:
+        # clamping can't help below one frame per device — fail with the
+        # actual cause instead of the opaque sharding error downstream
+        raise ValueError(
+            f"this host's train slice has {host_frames} frames but the mesh "
+            f"has {n_dev} devices; data sharding needs >= 1 frame per "
+            f"device — use a longer clip, a smaller mesh, or fewer hosts")
+    if batch_size > host_frames:
         clamped = (host_frames // n_dev) * n_dev
         logger.warning(
             "global batch %d (per-device %d x %d devices) exceeds this "

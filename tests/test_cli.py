@@ -95,6 +95,10 @@ def test_evaluate_cli_lmd_from_fan(tmp_path, monkeypatch):
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert "lmd" in out
     assert out["lmd"] == 0.0  # same frames, same detector
+    # the detector protocol must ride the JSON (ADVICE r4): with the FAN
+    # weights missing this host resolves to 'tiny' (the committed distilled
+    # checkpoint) or 'fan-random' — never silently unlabeled
+    assert out["lmd_detector"] in ("tiny", "fan-random")
 
 
 @pytest.mark.slow

@@ -276,3 +276,62 @@ def test_serve_cli_filesystem_queue(tmp_path, monkeypatch):
     assert img.shape == (64, 64, 3)
     assert (outd / "reqBad.err").exists()
     assert not os.listdir(queue)
+
+
+def test_serve_cli_wav_requests_in_order(tmp_path, monkeypatch, capsys):
+    """Daemon-loop loopback (VERDICT r4 #9): N raw .wav requests for a
+    mel-mode identity drain through cli.serve in queue (sorted-name) order,
+    each producing its own frame dir + .done — covering the wav->mel
+    ingest (serve._audio_windows) and the request loop end to end, in both
+    standard and --static modes."""
+    import os
+    import sys
+    import yaml
+    from scipy.io import wavfile
+    from speech2lip_tpu.data.synthetic import (make_learnable_tree,
+                                               synthetic_config)
+
+    root = str(tmp_path / "id0")
+    geo = make_learnable_tree(root, n_frames=12, face=96, lip_h=16, lip_w=24)
+    cfg = synthetic_config(root, geo)
+    cfg["model"]["use_audio_mel"] = True  # .wav requests need mel mode
+    cfg["training"]["out_dir"] = str(tmp_path / "out0")
+    cfg_path = str(tmp_path / "cfg0.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    rng_l = np.random.default_rng(3)
+
+    def make_queue(name):
+        queue = tmp_path / name
+        queue.mkdir()
+        for req in ("reqA", "reqB", "reqC"):
+            wav = (0.2 * rng_l.standard_normal(8000)).astype(np.float32)
+            wavfile.write(str(queue / f"0__{req}.wav"), 16000, wav)
+        return queue
+
+    from speech2lip_tpu.cli import serve as serve_cli
+
+    for mode, flags in (("standard", []), ("static", ["--static"])):
+        queue = make_queue(f"queue_{mode}")
+        outd = tmp_path / f"served_{mode}"
+        monkeypatch.setattr(sys, "argv", [
+            "serve", cfg_path, "--queue", str(queue), "--out", str(outd),
+            "--batch", "8", "--once"] + flags)
+        serve_cli.main()
+        log = capsys.readouterr().out
+
+        n_frames = []
+        for req in ("reqA", "reqB", "reqC"):
+            assert (outd / f"{req}.done").exists(), (mode, req, log)
+            frames = sorted(os.listdir(outd / req))
+            # frame files are contiguous %05d.jpg from 0
+            assert frames == [f"{i:05d}.jpg" for i in range(len(frames))]
+            n_frames.append(len(frames))
+            assert int((outd / f"{req}.done").read_text()) == len(frames)
+        assert min(n_frames) >= 1
+        # the daemon serves the queue in sorted-name order
+        order = [log.index(f"request {r}:") for r in ("reqA", "reqB",
+                                                      "reqC")]
+        assert order == sorted(order), log
+        assert not os.listdir(queue)

@@ -21,9 +21,12 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _t(x):
@@ -386,11 +389,93 @@ def convert_deepspeech(pb_path):
     }
 
 
+# the six reference artifact kinds (reference README.md:57 weight
+# inventory + the detectors its preprocess scripts download), matched by
+# the filenames the reference documents.  Each entry:
+# kind -> (output ckpt name, [candidate source filename globs])
+ALL_ARTIFACTS = {
+    "talking_face": ("talking_face", ["model_may.pt", "model_*.pt"]),
+    "syncnet": ("syncnet_weights.ckpt", ["lipsync_expert.pth"]),
+    "lpips": ("lpips_weights.ckpt", ["alex.pth"]),  # + lin weights, below
+    "bisenet": ("bisenet_weights.ckpt", ["79999_iter.pth"]),
+    "fan": ("fan_weights.ckpt", ["2DFAN4.pth", "2DFAN-4.pth",
+                                 "2DFAN4*.pth"]),
+    "dsfd": ("dsfd_weights.ckpt", ["WIDERFace_DSFD_RES152.pth",
+                                   "dsfd*.pth"]),
+    "s3fd": ("s3fd_weights.ckpt", ["s3fd*.pth"]),
+    "deepspeech": ("deepspeech.ckpt", ["deepspeech*.pb", "*.pb"]),
+}
+
+
+def convert_all(src_dir: str, out_dir: str):
+    """Convert every reference artifact present under ``src_dir``
+    (searched recursively) into ``out_dir`` — the one-command switch-on
+    path for a user bringing the reference's downloaded weights
+    (tests/test_real_weights.py drives the same function).  Returns
+    {kind: output_path} for the artifacts found."""
+    import glob
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def find(patterns):
+        for pat in patterns:
+            hits = (glob.glob(os.path.join(src_dir, pat))
+                    + glob.glob(os.path.join(src_dir, "**", pat),
+                                recursive=True))
+            if hits:
+                return sorted(hits)[0]
+        return None
+
+    done = {}
+    for kind, (out_name, patterns) in ALL_ARTIFACTS.items():
+        src = find(patterns)
+        if src is None:
+            print(f"[convert --all] {kind}: no source found "
+                  f"({patterns[0]}) — skipped")
+            continue
+        out = os.path.join(out_dir, out_name)
+        if kind == "talking_face":
+            argv = [kind, src, out_dir]
+            out = os.path.join(out_dir, "talking_face.ckpt")
+        elif kind == "lpips":
+            # the official LPIPS release names BOTH files alex.pth (the
+            # ~230 MB torchvision backbone vs the ~6 KB linear head under
+            # weights/v0.1/) — disambiguate by size, largest = backbone
+            hits = sorted(set(
+                glob.glob(os.path.join(src_dir, "**", "alex.pth"),
+                          recursive=True)
+                + glob.glob(os.path.join(src_dir, "alex.pth"))
+                + glob.glob(os.path.join(src_dir, "**", "lin_alex.pth"),
+                            recursive=True)), key=os.path.getsize)
+            if len(hits) < 2:
+                print("[convert --all] lpips: need both the alexnet "
+                      "backbone and the LPIPS linear head (alex.pth x2 or "
+                      "lin_alex.pth) — skipped")
+                continue
+            argv = [kind, hits[-1], hits[0], out]
+        else:
+            argv = [kind, src, out]
+        old = sys.argv
+        try:
+            sys.argv = ["convert_weights.py"] + argv
+            main()
+        finally:
+            sys.argv = old
+        done[kind] = out
+        print(f"[convert --all] {kind}: {src} -> {out}")
+    return done
+
+
 def main():
     import torch
     from speech2lip_tpu.core import checkpoint as ckpt
 
     kind = sys.argv[1]
+    if kind == "--all":
+        found = convert_all(sys.argv[2], sys.argv[3])
+        print(f"converted {len(found)}/{len(ALL_ARTIFACTS)} artifact kinds")
+        return
     if kind == "talking_face":
         src, out_dir = sys.argv[2], sys.argv[3]
         blob = torch.load(src, map_location="cpu")
