@@ -421,6 +421,12 @@ def make_train_step(optimizer: optax.GradientTransformation,
             loss_fn, has_aux=True)(trainable)
         if st.postnet_frozen:
             grads["unet"] = jax.tree.map(jnp.zeros_like, grads["unet"])
+        # Global gradient L2 norm: training observability, and the
+        # multichip dryrun's gradient-allreduce pin — quadratic in g, so a
+        # missing or mis-scaled psum shifts it (comparing Adam-updated
+        # params cannot catch scaling bugs: the step-1 update is
+        # lr·sign(g), and noise-level grads flip whole lr-sized updates).
+        metrics["grad_norm"] = optax.global_norm(grads)
         updates, new_opt = optimizer.update(grads, state.opt_state, trainable)
         if st.postnet_frozen:
             # Zeroing the GRADS is not enough under Adam: its first-moment
