@@ -351,26 +351,43 @@ def compute_losses(params, unet_params, unet_state, frozen, batch, key,
         sync_p, sync_s = frozen["syncnet"]
         n_total = batch["total_frame"].astype(jnp.float32)
 
-        crops = []
-        for fidx in range(st.sync_T):
-            cur_t = jnp.minimum(batch["index"].astype(jnp.float32) + fidx,
-                                n_total - 1.0)
-            lip_k = render_lip_ensemble(
-                params, batch["audio_window"][:, fidx], cur_t,
-                jax.random.fold_in(keys[2], fidx), st)
-            unet_in, _, _ = tf.post_fusion_composite(
-                lip_k, batch["rgb_face_zero"], batch["rgb_face_ori"],
-                batch["mask_lip_canonical"],
-                batch["coord_window"][:, fidx], st.lip_x, st.lip_y,
-                expand_divisor=st.expand_divisor, window=st.window,
-                pallas_gather=st.pallas_gather)
-            fused, _ = unet_light.apply(unet_params, unet_state, unet_in,
-                                        train=False)
-            x0, y0, x1, y1 = st.face_bbox
-            crop = fused[:, y0:y1, x0:x1, :]
-            crop = jax.image.resize(crop, (b, 96, 96, 3), method="linear")
-            crops.append(crop)
-        rgb_window = jnp.stack(crops, axis=1)  # [B, T, 96, 96, 3]
+        # The reference re-renders the T=5 window frames in a Python loop
+        # (training.py:496-534).  Here T folds into the batch axis: ONE
+        # render + composite + U-Net at batch B*T instead of T unrolled
+        # batch-B programs — the fused U-Net and the window gather both
+        # amortize with batch, so the fold is where the staged step's
+        # extra cost over stage-1 goes.  Per-frame math is unchanged; the
+        # ensemble eps / uv / audio noise draws are one [B*T] stream
+        # instead of T folded [B] streams (same distribution).
+        T = st.sync_T
+        offs = jnp.arange(T, dtype=jnp.float32)
+        cur_t = jnp.minimum(
+            batch["index"].astype(jnp.float32)[:, None] + offs[None, :],
+            n_total[:, None] - 1.0)                          # [B, T]
+        aw = batch["audio_window"][:, :T]
+        lip_bt = render_lip_ensemble(
+            params, aw.reshape((b * T,) + aw.shape[2:]),
+            cur_t.reshape(-1), keys[2], st)                  # [B*T, lh, lw, 3]
+
+        def _tile(x):  # [B, ...] -> [B*T, ...] (b-major, matches reshape)
+            return jnp.broadcast_to(
+                x[:, None], (b, T) + x.shape[1:]).reshape(
+                    (b * T,) + x.shape[1:])
+
+        cw = batch["coord_window"][:, :T]
+        unet_in, _, _ = tf.post_fusion_composite(
+            lip_bt, _tile(batch["rgb_face_zero"]),
+            _tile(batch["rgb_face_ori"]),
+            _tile(batch["mask_lip_canonical"]),
+            cw.reshape((b * T,) + cw.shape[2:]), st.lip_x, st.lip_y,
+            expand_divisor=st.expand_divisor, window=st.window,
+            pallas_gather=st.pallas_gather)
+        fused, _ = unet_light.apply(unet_params, unet_state, unet_in,
+                                    train=False)
+        x0, y0, x1, y1 = st.face_bbox
+        crop = fused[:, y0:y1, x0:x1, :]
+        crop = jax.image.resize(crop, (b * T, 96, 96, 3), method="linear")
+        rgb_window = crop.reshape(b, T, 96, 96, 3)
 
         g_pos = losses.sync_window_to_syncnet_input(
             rgb_window.astype(jnp.float32))

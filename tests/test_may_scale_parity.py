@@ -238,8 +238,10 @@ def test_may_whole_loss_pipeline_parity(may, rng, monkeypatch,
     def fixed_uniform(key, shape=(), *a, **kw):
         if shape == ():
             return jnp.float32(apply_draw)   # blackaug apply draw
-        if tuple(shape) == (1,):
-            return jnp.full((1,), EPS_VAL)   # ensemble eps draw
+        if tuple(shape) in ((1,), (5,)):
+            # ensemble eps draw: (1,) in the stage-1 render, (B*T,) = (5,)
+            # in the batched sync-window render
+            return jnp.full(shape, EPS_VAL)
         return real_uniform(key, shape, *a, **kw)
 
     our_noise_queue = [jnp.asarray(n[:, 0, :, :, None]) for n in noise_raw]

@@ -264,11 +264,6 @@ def main():
     cfg = default_config()
     cfg["model"]["canonical_depth_height"] = face
     cfg["model"]["canonical_depth_width"] = face
-    raw, geo = synthetic_batch(1, face=face, lip_h=lip_h, lip_w=lip_w,
-                               with_sync=True)
-    box = tfm.expanded_lip_box(lip_h, lip_w, geo["lip_x"], geo["lip_y"])
-    window = compute_warp_window([raw["coord"][0]], box, face, face,
-                                 margin=16)
     keys = jax.random.split(jax.random.PRNGKey(0), 4)
     params = tfm.init(keys[0], cfg)
     unet_p, unet_s = unet_light.init(keys[1])
@@ -276,16 +271,35 @@ def main():
               "syncnet": syncnet_mod.init(keys[3])}
     opt = make_optimizer(cfg)
     trainable = {"model": params, "unet": unet_p}
+
+    batches = {}
+    for bsz in (1, 4):
+        raw, geo = synthetic_batch(bsz, face=face, lip_h=lip_h, lip_w=lip_w,
+                                   with_sync=True)
+        batches[bsz] = (jax.tree.map(jnp.asarray, raw), geo)
+    box = tfm.expanded_lip_box(lip_h, lip_w, batches[1][1]["lip_x"],
+                               batches[1][1]["lip_y"])
+    grids = []
+    for bsz in batches:
+        raw = batches[bsz][0]
+        grids += [c for c in raw["coord"]]
+        grids += [w for cw in raw["coord_window"] for w in cw]
+    window = compute_warp_window(grids, box, face, face, margin=16)
     state0 = TrainState(params, unet_p, unet_s, opt.init(trainable),
                         jnp.int32(0))
-    batch = jax.tree.map(jnp.asarray, raw)
-    stage1 = {k: v for k, v in batch.items()
+    stage1 = {k: v for k, v in batches[1][0].items()
               if k not in ("mel", "audio_window", "coord_window",
                            "rgb_window_neg")}
 
+    # sync at batch 1 AND 4: the staged step re-renders T=5 window frames,
+    # folded into one B*T-batched render+U-Net (train_step.py sync stage) —
+    # amortization vs stage-1 shows up at both batch points
+    cases = [(False, 1, stage1, "stage1 b1"),
+             (True, 1, batches[1][0], "sync   b1"),
+             (True, 4, batches[4][0], "sync   b4")]
     for cd in ("float32", "bfloat16"):
-        for sync_on, b, tag in ((False, stage1, "stage1"),
-                                (True, batch, "sync")):
+        for sync_on, bsz, b, tag in cases:
+            geo = batches[bsz][1]
             st = StepStatics(
                 lip_h=lip_h, lip_w=lip_w, lip_x=geo["lip_x"],
                 lip_y=geo["lip_y"], face_h=face, face_w=face, focal=1200.0,
@@ -299,8 +313,8 @@ def main():
                 s, m = step(s, b, jax.random.fold_in(jax.random.PRNGKey(2), i))
             float(m["loss"])
             dt = (time.perf_counter() - t0) / 5
-            print(f"{tag:7s} {cd:9s}: {dt * 1000:7.1f} ms/step "
-                  f"({1 / dt:5.1f} steps/s/chip)")
+            print(f"{tag:9s} {cd:9s}: {dt * 1000:7.1f} ms/step "
+                  f"({dt * 1000 / bsz:7.1f} ms/frame)")
 
 
 if __name__ == "__main__":
