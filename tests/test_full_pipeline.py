@@ -41,7 +41,11 @@ def test_full_pipeline_from_raw_video(tmp_path):
                   "train", "infer"):
         assert phase in rep["phase_seconds"], phase
 
-    # the find_focal grid search picked a candidate from its 600–1500 grid
+    # At this 10-frame/0.02-budget smoke scale the focal grid search is
+    # plumbing-only (too few Adam iters to separate candidates — measured:
+    # it sits on the 600 grid edge).  The RECOVERY requirement (within one
+    # grid step of focal_true) is asserted on the committed production-
+    # budget artifact by test_committed_pipeline_artifact_recovered_focal.
     assert 600 <= rep["focal_found"] <= 1500
 
     # training validated and selected a best checkpoint; rendering scored
@@ -61,3 +65,18 @@ def test_full_pipeline_from_raw_video(tmp_path):
     n_rendered = len(os.listdir(os.path.join(
         out, "rendering_result", "pipeline", "postfusion")))
     assert n_rendered >= 1
+
+
+@pytest.mark.quick
+def test_committed_pipeline_artifact_recovered_focal():
+    """The committed PIPELINE.json (the ≥64-frame artifact the driver
+    records) must carry an exactly-recovered focal — the round-4 artifact
+    predated the identifiability fix (commit 2daf96b) and sat on the 600
+    grid edge with focal_true=900."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PIPELINE.json")) as f:
+        rep = json.load(f)
+    assert rep["geometry"]["frames"] >= 64
+    assert abs(rep["focal_found"] - rep["focal_true"]) <= 100, (
+        rep["focal_found"], rep["focal_true"])
+    assert rep["best_checkpoint_selected"]
