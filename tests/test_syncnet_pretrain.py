@@ -35,6 +35,10 @@ def test_build_sync_arrays_contract(identity):
     assert 0.0 <= windows.min() and windows.max() <= 1.0
 
 
+@pytest.mark.heavy  # 60 CPU train steps of the [32,48,96,15] SyncNet
+#   (~260 s — over a third of the whole quick gate; the quick tier keeps
+#   the build_sync_arrays contract, and the full learning proof runs in
+#   the `-m "not slow"` tier and inside CONVERGENCE_SYNC_V2)
 def test_pretrain_learns_and_discriminates(identity):
     import jax.numpy as jnp
 
